@@ -1,0 +1,15 @@
+"""gpqhe_tpu — TPU-native CKKS homomorphic-encryption framework.
+
+A ground-up JAX/XLA/Pallas rebuild with the capabilities of the reference
+GPQHE library (pure-C, ref: /root/reference).  See SURVEY.md for the layer map
+this package implements.
+
+64-bit integer support must be enabled before any array op; XLA emulates u64
+on TPU via u32 pairs.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from .context import HeContext, PolyContext  # noqa: E402,F401

@@ -1,0 +1,209 @@
+"""Device big-integer arithmetic on u32-limb tensors.
+
+The MPI domain of the reference (libgcrypt big ints, ref: src/types.h:47)
+becomes fixed-width little-endian u32-limb tensors [..., K] here.  Values are
+nonnegative representatives mod 2**(32K); signed intermediates use two's
+complement in that width.  Static limb counts keep every op jit-compilable.
+
+All functions take/return u32 arrays; internal arithmetic is u64.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_M32 = jnp.uint64(0xFFFFFFFF)
+_32 = jnp.uint64(32)
+
+
+def _u64(a):
+    return a.astype(jnp.uint64)
+
+
+def add(a, b):
+    """(a + b) mod 2^(32K), limb-wise with carry."""
+    k = a.shape[-1]
+    carry = jnp.zeros(a.shape[:-1], dtype=jnp.uint64)
+    outs = []
+    for i in range(k):
+        s = _u64(a[..., i]) + _u64(b[..., i]) + carry
+        outs.append((s & _M32).astype(jnp.uint32))
+        carry = s >> _32
+    return jnp.stack(outs, axis=-1)
+
+
+def add_scalar_bit(a, bit):
+    """a + bit (bit in {0,1} per row), mod 2^(32K)."""
+    k = a.shape[-1]
+    carry = _u64(bit)
+    outs = []
+    for i in range(k):
+        s = _u64(a[..., i]) + carry
+        outs.append((s & _M32).astype(jnp.uint32))
+        carry = s >> _32
+    return jnp.stack(outs, axis=-1)
+
+
+def sub(a, b):
+    """(a - b) mod 2^(32K)."""
+    k = a.shape[-1]
+    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint64)
+    outs = []
+    for i in range(k):
+        d = _u64(a[..., i]) - _u64(b[..., i]) - borrow
+        outs.append((d & _M32).astype(jnp.uint32))
+        borrow = (d >> _32) & jnp.uint64(1)  # wrapped => borrow
+    return jnp.stack(outs, axis=-1)
+
+
+def neg(a):
+    """-a mod 2^(32K)."""
+    return add_scalar_bit(~a, jnp.ones(a.shape[:-1], dtype=jnp.uint32))
+
+
+def select(mask, a, b):
+    """Per-row select: mask ? a : b (mask shape = row shape)."""
+    return jnp.where(mask[..., None], a, b)
+
+
+def geq_const(a, c_limbs):
+    """a >= c (c passed as u32[K] array or broadcastable limb tensor)."""
+    k = a.shape[-1]
+    ge = jnp.ones(a.shape[:-1], dtype=bool)
+    decided = jnp.zeros(a.shape[:-1], dtype=bool)
+    for i in range(k - 1, -1, -1):
+        ai = a[..., i]
+        ci = c_limbs[..., i] if c_limbs.ndim == a.ndim else c_limbs[i]
+        gt = ai > ci
+        lt = ai < ci
+        ge = jnp.where(~decided & gt, True, jnp.where(~decided & lt, False, ge))
+        decided = decided | gt | lt
+    return ge
+
+
+def mask_bits(a, nbits: int):
+    """Keep the low nbits: a mod 2^nbits (static nbits)."""
+    k = a.shape[-1]
+    full = nbits // 32
+    rem = nbits % 32
+    pieces = []
+    for i in range(k):
+        if i < full:
+            pieces.append(a[..., i])
+        elif i == full and rem:
+            pieces.append(a[..., i] & jnp.uint32((1 << rem) - 1))
+        else:
+            pieces.append(jnp.zeros_like(a[..., i]))
+    return jnp.stack(pieces, axis=-1)
+
+
+def rshift(a, t: int, k_out: int | None = None):
+    """floor(a / 2^t) for nonnegative a (static t), output k_out limbs."""
+    k = a.shape[-1]
+    if k_out is None:
+        k_out = k
+    s, r = divmod(t, 32)
+    outs = []
+    for i in range(k_out):
+        lo = a[..., i + s] if i + s < k else jnp.zeros_like(a[..., 0])
+        if r == 0:
+            outs.append(lo)
+        else:
+            hi = a[..., i + s + 1] if i + s + 1 < k else jnp.zeros_like(a[..., 0])
+            outs.append((lo >> jnp.uint32(r)) | (hi << jnp.uint32(32 - r)))
+    return jnp.stack(outs, axis=-1)
+
+
+def rshift_round(a, t: int, k_out: int | None = None):
+    """Round-to-nearest division by 2^t, remainder ties (== 2^(t-1)) round DOWN:
+    floor(a/2^t) + [a mod 2^t > 2^(t-1)]  (ref: src/types.c:115-128 with m=2^t).
+    a must be a nonnegative representative."""
+    q = rshift(a, t, k_out)
+    if t == 0:
+        return q
+    # frac > 2^(t-1)  <=>  bit t-1 set AND low t-1 bits nonzero
+    hb_limb, hb_bit = divmod(t - 1, 32)
+    topbit = (a[..., hb_limb] >> jnp.uint32(hb_bit)) & jnp.uint32(1)
+    low_nonzero = jnp.zeros(a.shape[:-1], dtype=bool)
+    for i in range(hb_limb + 1):
+        if i < hb_limb:
+            low_nonzero = low_nonzero | (a[..., i] != 0)
+        elif hb_bit > 0:
+            low_nonzero = low_nonzero | ((a[..., i] & jnp.uint32((1 << hb_bit) - 1)) != 0)
+    round_up = (topbit == 1) & low_nonzero
+    return add_scalar_bit(q, round_up.astype(jnp.uint32))
+
+
+def resize(a, k_out: int):
+    """Zero-extend or truncate to k_out limbs (value mod 2^(32 k_out))."""
+    k = a.shape[-1]
+    if k_out == k:
+        return a
+    if k_out < k:
+        return a[..., :k_out]
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, k_out - k)]
+    return jnp.pad(a, pad)
+
+
+def to_digits16(a):
+    """u32[..., K] -> u64[..., 2K] 16-bit digits."""
+    lo = _u64(a) & jnp.uint64(0xFFFF)
+    hi = _u64(a) >> jnp.uint64(16)
+    return jnp.stack([lo, hi], axis=-1).reshape(a.shape[:-1] + (2 * a.shape[-1],))
+
+
+def from_digits16(d, k_out: int):
+    """u64[..., D] 16-bit digit sums (each < 2^48) -> u32[..., k_out] limbs,
+    with carry propagation; value taken mod 2^(32 k_out)."""
+    ddim = d.shape[-1]
+    carry = jnp.zeros(d.shape[:-1], dtype=jnp.uint64)
+    digits = []
+    for i in range(min(ddim, 2 * k_out)):
+        s = d[..., i] + carry
+        digits.append(s & jnp.uint64(0xFFFF))
+        carry = s >> jnp.uint64(16)
+    while len(digits) < 2 * k_out:
+        digits.append(carry & jnp.uint64(0xFFFF))
+        carry = carry >> jnp.uint64(16)
+    outs = []
+    for i in range(k_out):
+        outs.append((digits[2 * i] | (digits[2 * i + 1] << jnp.uint64(16))).astype(jnp.uint32))
+    return jnp.stack(outs, axis=-1)
+
+
+def mul_const_mod2k(a, c16: np.ndarray, k_out: int):
+    """a * c mod 2^(32 k_out), c given as host u16-digit array (np.uint32/u64).
+
+    Digit convolution keeping only the low 2*k_out digits; per-digit sums are
+    bounded by 2*k_out * 2^32 < 2^48, safe in u64.
+    """
+    d_out = 2 * k_out
+    a16 = to_digits16(a)  # [..., 2K]
+    da = a16.shape[-1]
+    c = np.asarray(c16, dtype=np.uint64)
+    dc = c.shape[0]
+    acc = [jnp.zeros(a.shape[:-1], dtype=jnp.uint64) for _ in range(d_out)]
+    for v in range(min(dc, d_out)):
+        cv = jnp.uint64(int(c[v]))
+        if int(c[v]) == 0:
+            continue
+        for u in range(min(da, d_out - v)):
+            acc[u + v] = acc[u + v] + a16[..., u] * cv
+    return from_digits16(jnp.stack(acc, axis=-1), k_out)
+
+
+def to_f64_centered(a, q_bits: int):
+    """Centered value (smod 2^q_bits) of a as f64 (ref: src/types.c:77-106 +
+    mpi_smod semantics).  Exact for |value| < 2^53; relative error 2^-53 above."""
+    am = mask_bits(a, q_bits)
+    hb_limb, hb_bit = divmod(q_bits - 1, 32)
+    negmask = ((am[..., hb_limb] >> jnp.uint32(hb_bit)) & jnp.uint32(1)) == 1
+    # value - 2^q_bits when negative: use two's complement negate
+    # magnitude of the negative branch: 2^q_bits - am, re-masked to q_bits
+    mag = select(negmask, mask_bits(neg(am), q_bits), am)
+    k = mag.shape[-1]
+    val = jnp.zeros(mag.shape[:-1], dtype=jnp.float64)
+    for i in range(k - 1, -1, -1):
+        val = val * 4294967296.0 + mag[..., i].astype(jnp.float64)
+    return jnp.where(negmask, -val, val)

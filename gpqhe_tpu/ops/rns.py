@@ -1,0 +1,163 @@
+"""RNS decompose / CRT reconstruct between limb tensors and residue stacks.
+
+Device equivalents of the reference's rns.c (ref: src/rns.c:37-75) and the
+CRT-lift half of poly_rns2mpi (ref: src/poly.c:109-120):
+
+  decompose:    u32-limb poly [n, K]  ->  residues u64[dim, n]  (a mod p_d)
+  reconstruct:  residues u64[dim, n]  ->  centered limbs [n, KS]
+                (CRT lift, then smod P — the exact integer the product equals)
+
+The reconstruct avoids per-coefficient big-int division: y_d = a_d*phat_d^-1
+mod p_d, S = sum_d y_d*phat_d (exact, 16-bit digit accumulation), and the
+CRT overflow multiple alpha = floor(S/P) < dim is estimated in f64 and
+corrected exactly with limb compares (standard RNS lift; the reference instead
+does dim big-int mulm/addm per coefficient, ref: src/rns.c:60-75).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..substrate import bigint
+from .modmath import mont_mul
+from . import limbs as lb
+
+
+@dataclass(frozen=True)
+class BasisArrays:
+    """Device copies of per-basis constants (uploaded once per context)."""
+    dim: int
+    ps: jnp.ndarray            # u64[dim]
+    pinv: jnp.ndarray          # u64[dim]
+    ninv_mont: jnp.ndarray     # u64[dim]
+    r2: jnp.ndarray            # u64[dim]
+    phatinv_mont: jnp.ndarray  # u64[dim]
+    zetas: jnp.ndarray         # u64[dim, n]
+    zetas_inv: jnp.ndarray     # u64[dim, n]
+
+
+@dataclass(frozen=True)
+class ReconPlan:
+    """Constants for CRT reconstruction over one basis."""
+    dim: int
+    ds: int                 # digit width of the accumulator (16-bit digits)
+    ks: int                 # output limb count = ds // 2
+    phat16: np.ndarray      # u64[dim, ds] digits of phat_d
+    negP16: np.ndarray      # u64[ds] digits of 2^(16 ds) - P
+    P_limbs: np.ndarray     # u32[ks]
+    Phalf_limbs: np.ndarray  # u32[ks] floor(P/2)
+    MminusP_limbs: np.ndarray  # u32[ks] 2^(32 ks) - P
+    inv_p: np.ndarray       # f64[dim]
+
+
+def make_basis_arrays(poly_ctx, dim: int) -> BasisArrays:
+    b = poly_ctx.basis(dim)
+    return BasisArrays(
+        dim=dim,
+        ps=jnp.array(b.ps),
+        pinv=jnp.array(b.pinv_mont),
+        ninv_mont=jnp.array(b.ninv_mont),
+        r2=jnp.array(b.r2),
+        phatinv_mont=jnp.array(b.phatinv_mont),
+        zetas=jnp.array(poly_ctx.zetas(dim)),
+        zetas_inv=jnp.array(poly_ctx.zetas_inv(dim)),
+    )
+
+
+def make_recon_plan(poly_ctx, dim: int) -> ReconPlan:
+    b = poly_ctx.basis(dim)
+    ds = (b.P.bit_length() + 15) // 16 + 2
+    if ds % 2:
+        ds += 1
+    ks = ds // 2
+    M = 1 << (16 * ds)
+    phat16 = np.stack([bigint.digits16(ph, ds) for ph in b.phat]).astype(np.uint64)
+    negP16 = bigint.digits16(M - b.P, ds).astype(np.uint64)
+    return ReconPlan(
+        dim=dim, ds=ds, ks=ks,
+        phat16=phat16,
+        negP16=negP16,
+        P_limbs=bigint.int_to_limbs(b.P, ks),
+        Phalf_limbs=bigint.int_to_limbs(b.P_half, ks),
+        MminusP_limbs=bigint.int_to_limbs((1 << (32 * ks)) - b.P, ks),
+        inv_p=np.array([1.0 / p for p in b.primes], dtype=np.float64),
+    )
+
+
+def make_decomp_weights(poly_ctx, dim: int, k_limbs: int) -> np.ndarray:
+    """u64[dim, J]: V_j = 2^(64(j+1)) mod p_d, J = ceil(K/2) (so that
+    mont_mul(c_j, V_j) == c_j * 2^(64 j) mod p for u64 digits c_j)."""
+    j_digits = (k_limbs + 1) // 2
+    out = np.empty((dim, j_digits), dtype=np.uint64)
+    for d, p in enumerate(poly_ctx.primes[:dim]):
+        for j in range(j_digits):
+            out[d, j] = pow(2, 64 * (j + 1), p)
+    return out
+
+
+def decompose(a, ba: BasisArrays, weights) -> jnp.ndarray:
+    """u32[..., n, K] -> u64[..., dim, n]: a mod p_d per prime
+    (ref: src/rns.c:37-48; input is a nonnegative representative)."""
+    k = a.shape[-1]
+    j_digits = (k + 1) // 2
+    if k % 2:
+        a = lb.resize(a, k + 1)
+    au = a.astype(jnp.uint64)
+    # u64 digits c_j = limb[2j] | limb[2j+1] << 32 -> [..., n, J]
+    c = au[..., 0::2] | (au[..., 1::2] << jnp.uint64(32))
+    w = jnp.asarray(weights)  # [dim, J]
+    ps = ba.ps
+    pinv = ba.pinv
+    # accumulate over digits, keeping partial sums < p
+    acc = None
+    for j in range(j_digits):
+        cj = c[..., None, :, j]                     # [..., 1, n]
+        term = mont_mul(cj, w[:, j][:, None], ps[:, None], pinv[:, None])
+        if acc is None:
+            acc = term
+        else:
+            s = acc + term
+            acc = jnp.where(s >= ps[:, None], s - ps[:, None], s)
+    return acc
+
+
+def reconstruct(res, ba: BasisArrays, plan: ReconPlan) -> jnp.ndarray:
+    """u64[..., dim, n] -> centered u32[..., n, ks] (two's complement).
+
+    Returns the exact integer value (CRT-lifted, smod P, ref: src/poly.c:109-120
+    first smod) as limbs mod 2^(32 ks)."""
+    ps = ba.ps[:, None]
+    pinv = ba.pinv[:, None]
+    y = mont_mul(res, ba.phatinv_mont[:, None], ps, pinv)  # [..., dim, n]
+    ds = plan.ds
+    # S = sum_d y_d * phat_d in 16-bit digit planes, accumulated as EXACT f64
+    # matmuls: every product <= (2^16-1)^2 < 2^32 and every digit sum
+    # <= 4*dim*2^32 < 2^41 << 2^53, so f64 arithmetic here is integer-exact.
+    # phat_shift[t][d, s] = phat16[d, s - t]
+    phat_shift = np.zeros((4, plan.dim, ds), dtype=np.float64)
+    for t in range(4):
+        phat_shift[t, :, t:] = plan.phat16[:, :ds - t].astype(np.float64)
+    s_digits = None
+    for t in range(4):
+        yt = ((y >> jnp.uint64(16 * t)) & jnp.uint64(0xFFFF)).astype(jnp.float64)
+        # contract over dim: [..., dim, n] x [dim, ds] -> [..., n, ds]
+        part = jnp.einsum("...dn,ds->...ns", yt, jnp.asarray(phat_shift[t]))
+        s_digits = part if s_digits is None else s_digits + part
+    # alpha = floor(S / P) estimated in f64, corrected exactly below
+    af = jnp.einsum("...dn,d->...n", y.astype(jnp.float64), jnp.asarray(plan.inv_p))
+    alpha = jnp.clip(jnp.floor(af), 0.0, float(plan.dim))
+    # S - alpha*P == S + alpha*(M - P) mod M  (still exact in f64: < 2^42)
+    s_digits = s_digits + alpha[..., None] * jnp.asarray(plan.negP16.astype(np.float64))
+    r = lb.from_digits16(s_digits.astype(jnp.uint64), plan.ks)  # u32[..., n, ks]
+    # correct alpha off-by-one: E in (-P, 2P)
+    mp = jnp.asarray(plan.MminusP_limbs)
+    pl = jnp.asarray(plan.P_limbs)
+    r = lb.select(lb.geq_const(r, mp), lb.add(r, jnp.broadcast_to(pl, r.shape)), r)
+    r = lb.select(lb.geq_const(r, pl), lb.sub(r, jnp.broadcast_to(pl, r.shape)), r)
+    # center: smod P (ref: src/types.c:108-113 with q=P)
+    ph = jnp.asarray(plan.Phalf_limbs)
+    r = lb.select(lb.geq_const(r, ph), lb.sub(r, jnp.broadcast_to(pl, r.shape)), r)
+    return r

@@ -1,0 +1,136 @@
+"""Kernel-layer KATs: modmath, NTT (vs schoolbook negacyclic product),
+limb arithmetic, RNS decompose/reconstruct (vs python-int oracle).
+
+TPU analogue of the reference's tests/polymul.c (PARI/GP oracle,
+ref: tests/polymul.c:84-124) and tests/crt.c (shrunken-param CRT roundtrips,
+ref: tests/crt.c:94-214).
+"""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpqhe_tpu.context import PolyContext
+from gpqhe_tpu.ops import limbs as lb
+from gpqhe_tpu.ops import rns as rns_ops
+from gpqhe_tpu.ops.modmath import mont_mul, mulmod, to_mont
+from gpqhe_tpu.ops.ntt import intt, ntt
+from gpqhe_tpu.substrate import bigint
+
+
+@pytest.fixture(scope="module")
+def pctx():
+    return PolyContext(6, q=1 << 20, dim_cap=24)
+
+
+def test_mulmod_exact(pctx):
+    random.seed(2)
+    dim = 4
+    b = pctx.basis(dim)
+    a = np.array([[random.randrange(p) for _ in range(64)] for p in b.primes], dtype=np.uint64)
+    c = np.array([[random.randrange(p) for _ in range(64)] for p in b.primes], dtype=np.uint64)
+    got = np.asarray(mulmod(jnp.array(a), jnp.array(c),
+                            jnp.array(b.ps)[:, None], jnp.array(b.pinv_mont)[:, None],
+                            jnp.array(b.r2)[:, None]))
+    for d, p in enumerate(b.primes):
+        exp = [(int(a[d, i]) * int(c[d, i])) % p for i in range(64)]
+        assert [int(x) for x in got[d]] == exp
+
+
+def test_ntt_roundtrip_and_product(pctx):
+    random.seed(3)
+    dim = 3
+    n = pctx.n
+    b = pctx.basis(dim)
+    ba = rns_ops.make_basis_arrays(pctx, dim)
+    a = np.array([[random.randrange(p) for _ in range(n)] for p in b.primes], dtype=np.uint64)
+    c = np.array([[random.randrange(p) for _ in range(n)] for p in b.primes], dtype=np.uint64)
+    ah = ntt(jnp.array(a), ba.zetas, ba.ps, ba.pinv)
+    back = np.asarray(intt(ah, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont))
+    assert np.array_equal(back, a)
+    ch = mulmod(ah, ntt(jnp.array(c), ba.zetas, ba.ps, ba.pinv),
+                ba.ps[:, None], ba.pinv[:, None], jnp.array(b.r2)[:, None])
+    prod = np.asarray(intt(ch, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont))
+    for d, p in enumerate(b.primes):
+        ref = [0] * n
+        for i in range(n):
+            ai = int(a[d, i])
+            for j in range(n):
+                k = i + j
+                if k >= n:
+                    ref[k - n] = (ref[k - n] - ai * int(c[d, j])) % p
+                else:
+                    ref[k] = (ref[k] + ai * int(c[d, j])) % p
+        assert [int(x) for x in prod[d]] == ref
+
+
+def test_limb_arith():
+    random.seed(4)
+    K = 9
+    mod = 1 << (32 * K)
+    xs = [random.getrandbits(32 * K - random.randrange(200)) for _ in range(40)]
+    ys = [random.getrandbits(32 * K - random.randrange(200)) for _ in range(40)]
+    ax = jnp.array(bigint.ints_to_limbs(xs, K))
+    ay = jnp.array(bigint.ints_to_limbs(ys, K))
+    assert bigint.limbs_to_ints(np.asarray(lb.add(ax, ay))) == [(x + y) % mod for x, y in zip(xs, ys)]
+    assert bigint.limbs_to_ints(np.asarray(lb.sub(ax, ay))) == [(x - y) % mod for x, y in zip(xs, ys)]
+    assert bigint.limbs_to_ints(np.asarray(lb.neg(ax))) == [(-x) % mod for x in xs]
+    got_ge = np.asarray(lb.geq_const(ax, jnp.array(bigint.int_to_limbs(ys[0], K))))
+    assert list(got_ge) == [x >= ys[0] for x in xs]
+    assert bigint.limbs_to_ints(np.asarray(lb.mask_bits(ax, 100))) == [x % (1 << 100) for x in xs]
+    for t in (1, 31, 32, 50, 64, 97):
+        assert bigint.limbs_to_ints(np.asarray(lb.rshift(ax, t))) == [x >> t for x in xs]
+        exp = [(x >> t) + (1 if (x & ((1 << t) - 1)) > (1 << (t - 1)) else 0) for x in xs]
+        assert bigint.limbs_to_ints(np.asarray(lb.rshift_round(ax, t))) == exp
+    c = random.getrandbits(300)
+    c16 = bigint.digits16(c, 2 * K)
+    got = bigint.limbs_to_ints(np.asarray(lb.mul_const_mod2k(ax, c16, K)))
+    assert got == [(x * c) % mod for x in xs]
+
+
+def test_to_f64_centered():
+    K = 5
+    qb = 130
+    vals = [0, 1, -1, (1 << 129) - 5, -(1 << 129) + 3, 12345678901234]
+    ax = jnp.array(bigint.ints_to_limbs([v % (1 << qb) for v in vals], K))
+    got = np.asarray(lb.to_f64_centered(ax, qb))
+    for g, v in zip(got, vals):
+        assert g == pytest.approx(float(v), rel=1e-15)
+
+
+@pytest.mark.parametrize("dim", [1, 2, 5, 24])
+def test_rns_roundtrip(pctx, dim):
+    random.seed(5 + dim)
+    n = pctx.n
+    b = pctx.basis(dim)
+    ba = rns_ops.make_basis_arrays(pctx, dim)
+    plan = rns_ops.make_recon_plan(pctx, dim)
+    res = np.stack([np.array([random.randrange(p) for _ in range(n)], dtype=np.uint64)
+                    for p in b.primes])
+    out = np.asarray(rns_ops.reconstruct(jnp.array(res), ba, plan))
+    got = bigint.limbs_to_signed_ints(out)
+    for i in range(n):
+        x = sum(int(res[d, i]) * b.phat[d] * b.phat_invmp[d] for d in range(dim)) % b.P
+        if x >= b.P_half:
+            x -= b.P
+        assert got[i] == x
+    K = 30
+    w = rns_ops.make_decomp_weights(pctx, dim, K)
+    vals = [random.getrandbits(32 * K - random.randrange(0, 200)) for _ in range(n)]
+    limbs = bigint.ints_to_limbs(vals, K)
+    dres = np.asarray(rns_ops.decompose(jnp.array(limbs), ba, w))
+    for d, p in enumerate(b.primes):
+        assert [int(x) for x in dres[d]] == [v % p for v in vals]
+
+
+def test_mont_domain(pctx):
+    b = pctx.basis(2)
+    a = jnp.array([[5, 7], [11, 13]], dtype=jnp.uint64)
+    ps = jnp.array(b.ps)[:, None]
+    pinv = jnp.array(b.pinv_mont)[:, None]
+    r2 = jnp.array(b.r2)[:, None]
+    am = to_mont(a, ps, pinv, r2)
+    back = mont_mul(am, jnp.ones_like(a), ps, pinv)
+    assert np.array_equal(np.asarray(back), np.asarray(a))

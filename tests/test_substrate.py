@@ -1,0 +1,66 @@
+"""Substrate KATs: surf RNG byte-exactness, FIPS-202 vs hashlib, limb codecs."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from gpqhe_tpu.substrate import bigint, fips202, surf
+
+# Expected bytes produced by the reference rng.c compiled with -DSUPERCOP
+# (ref: src/rng.c:32-78), chunks of 13/64/13/64 bytes.
+SURF_KAT = [
+    "934d60b35624d740b30a7f227a",
+    "f2ae7c678e4e04e13c5f509eade2b79aea77e23e2a2ea6c9c476fc4937b013c9"
+    "93a793d6c0ab9960695ba838f649da539ca3d0bac5ba881dd35c597196700046",
+    "92d675b83c98db6a0e55800baf",
+    "eb7e70491bf40fdbb1169f785669a406103336a4a1d93ffa24269970f51601db"
+    "5338ad82d46dc7300e2d894b0eaa40a6ab254506d8c1176a33c4a1b2879604b1",
+]
+
+
+def test_surf_kat():
+    s = surf.Surf()
+    for chunk, expect in enumerate(SURF_KAT):
+        ln = 64 if chunk % 2 else 13
+        assert bytes(s.randombytes(ln)).hex() == expect
+
+
+def test_surf_buffering_invariance():
+    """Stream must not depend on read chunking (C consumes byte-at-a-time)."""
+    a = surf.Surf()
+    b = surf.Surf()
+    whole = bytes(a.randombytes(1000))
+    parts = b"".join(bytes(b.randombytes(k)) for k in [1, 7, 64, 128, 300, 500])
+    assert whole == parts
+
+
+@pytest.mark.parametrize("msg", [b"", b"abc", b"x" * 200, bytes(range(137))])
+def test_fips202_vs_hashlib(msg):
+    assert fips202.shake128(64, msg) == hashlib.shake_128(msg).digest(64)
+    assert fips202.shake256(64, msg) == hashlib.shake_256(msg).digest(64)
+    assert fips202.sha3_256(msg) == hashlib.sha3_256(msg).digest()
+    assert fips202.sha3_512(msg) == hashlib.sha3_512(msg).digest()
+
+
+def test_sponge_incremental():
+    sp = fips202.KeccakSponge(fips202.SHAKE128_RATE, 0x1F)
+    sp.absorb(b"a" * 100)
+    sp.absorb(b"b" * 100)
+    assert sp.squeeze(32) == hashlib.shake_128(b"a" * 100 + b"b" * 100).digest(32)
+
+
+def test_bigint_roundtrip():
+    import random
+    random.seed(0)
+    vals = [random.getrandbits(400) - (1 << 399) for _ in range(50)]
+    limbs = bigint.ints_to_limbs(vals, 13)
+    back = bigint.limbs_to_signed_ints(limbs)
+    assert back == [v for v in vals]
+    nn = [abs(v) for v in vals]
+    limbs2 = bigint.ints_to_limbs(nn, 13)
+    assert bigint.limbs_to_ints(limbs2) == nn
+    one = bigint.int_to_limbs(nn[0], 13)
+    assert bigint.limbs_to_int(one) == nn[0]
+    d = bigint.digits16(nn[0], 26)
+    assert sum(int(x) << (16 * i) for i, x in enumerate(d)) == nn[0] & ((1 << 416) - 1)
