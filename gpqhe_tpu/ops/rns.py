@@ -124,11 +124,13 @@ def decompose(a, ba: BasisArrays, weights) -> jnp.ndarray:
     return acc
 
 
-def reconstruct(res, ba: BasisArrays, plan: ReconPlan) -> jnp.ndarray:
-    """u64[..., dim, n] -> centered u32[..., n, ks] (two's complement).
+def reconstruct(res, ba: BasisArrays, plan: ReconPlan, center: bool = True) -> jnp.ndarray:
+    """u64[..., dim, n] -> u32[..., n, ks] limbs mod 2^(32 ks).
 
-    Returns the exact integer value (CRT-lifted, smod P, ref: src/poly.c:109-120
-    first smod) as limbs mod 2^(32 ks)."""
+    center=True: the exact centered integer (CRT lift then smod P,
+    ref: src/poly.c:109-120 first smod), two's complement.
+    center=False: the nonnegative residue in [0, P) (used by the key-switch
+    divide-by-P path, which needs r = c mod P exactly)."""
     ps = ba.ps[:, None]
     pinv = ba.pinv[:, None]
     y = mont_mul(res, ba.phatinv_mont[:, None], ps, pinv)  # [..., dim, n]
@@ -157,7 +159,8 @@ def reconstruct(res, ba: BasisArrays, plan: ReconPlan) -> jnp.ndarray:
     pl = jnp.asarray(plan.P_limbs)
     r = lb.select(lb.geq_const(r, mp), lb.add(r, jnp.broadcast_to(pl, r.shape)), r)
     r = lb.select(lb.geq_const(r, pl), lb.sub(r, jnp.broadcast_to(pl, r.shape)), r)
-    # center: smod P (ref: src/types.c:108-113 with q=P)
-    ph = jnp.asarray(plan.Phalf_limbs)
-    r = lb.select(lb.geq_const(r, ph), lb.sub(r, jnp.broadcast_to(pl, r.shape)), r)
+    if center:
+        # smod P (ref: src/types.c:108-113 with q=P)
+        ph = jnp.asarray(plan.Phalf_limbs)
+        r = lb.select(lb.geq_const(r, ph), lb.sub(r, jnp.broadcast_to(pl, r.shape)), r)
     return r

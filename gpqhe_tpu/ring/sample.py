@@ -1,0 +1,114 @@
+"""Samplers consuming the deterministic surf byte stream.
+
+Byte-order-exact host ports of the reference's sample.c (ref: src/sample.c:52-141).
+Every sampler consumes exactly the same bytes in the same order as the C code,
+so downstream keys/errors/messages match the reference KAT streams.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .. import params
+from ..substrate.surf import Surf
+
+
+def sample_z01vec(rng: Surf, m: int) -> np.ndarray:
+    """Test messages in [0,1) + i[0,1) (ref: src/sample.c:52-58)."""
+    buf = rng.randombytes(2 * m).astype(np.float64)
+    return buf[:m] / 256.0 + 1j * buf[m:] / 256.0
+
+
+def sample_discrete_gaussian(rng: Surf, m: int) -> np.ndarray:
+    """Box-Muller discrete Gaussian, sigma=3.19 (ref: src/sample.c:60-72).
+
+    The C code hits log(0) when the second byte of a pair is 0; the resulting
+    +-inf passes through (int16_t)floor(...) which on x86-64 becomes 0 — we
+    replicate that as an explicit 0."""
+    buf = rng.randombytes(m)
+    r1 = buf[0::2].astype(np.float64) / 256.0
+    r2 = buf[1::2].astype(np.float64) / 256.0
+    theta = 2 * params.PI * r1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rr = np.sqrt(-2 * np.log(r2)) * params.SIGMA
+        even = np.floor(rr * np.cos(theta) + 0.5)
+        odd = np.floor(rr * np.sin(theta) + 0.5)
+    bad = r2 == 0.0
+    even = np.where(bad, 0.0, even)
+    odd = np.where(bad, 0.0, odd)
+    out = np.empty(m, dtype=np.int64)
+    out[0::2] = even.astype(np.int64)
+    out[1::2] = odd.astype(np.int64)
+    return out
+
+
+def sample_error(rng: Surf, n: int) -> np.ndarray:
+    """Error polynomial (ref: src/sample.c:74-82)."""
+    return sample_discrete_gaussian(rng, n)
+
+
+def load_nbits_le(buf: np.ndarray, nbits: int) -> int:
+    """loadnbits/loadmpi little-endian semantics (ref: src/types.c:144-184):
+    q full bytes plus the low r bits of the next byte."""
+    q, r = divmod(nbits, 8)
+    val = int.from_bytes(bytes(buf[:q]), "little")
+    if r:
+        val |= (int(buf[q]) & ((1 << r) - 1)) << (8 * q)
+    return val
+
+
+def sample_hwt(rng: Surf, n: int) -> np.ndarray:
+    """Exactly-BLKSIZ-nonzero ternary vector (ref: src/sample.c:84-100).
+
+    Sequential by construction: byte consumption depends on index collisions."""
+    vec = np.zeros(n, dtype=np.int64)
+    num = load_nbits_le(rng.randombytes(8), 64)
+    logm = n.bit_length() - 1
+    idx = 0
+    while idx < params.BLKSIZ:
+        buf = rng.randombytes(8)
+        i = load_nbits_le(buf, logm)
+        if vec[i] == 0:
+            vec[i] = 1 if ((num >> idx) & 1) == 0 else -1
+            idx += 1
+    return vec
+
+
+def sample_sk(rng: Surf, n: int) -> np.ndarray:
+    """Secret key (ref: src/sample.c:102-110)."""
+    return sample_hwt(rng, n)
+
+
+def sample_zo(rng: Surf, n: int) -> np.ndarray:
+    """+-1 w.p. 1/4 each, 0 w.p. 1/2 (ref: src/sample.c:112-131)."""
+    buf = rng.randombytes(2 * n // 8)
+    bits = np.unpackbits(buf, bitorder="little")
+    b0 = bits[0::2][:n]
+    b1 = bits[1::2][:n]
+    return np.where(b0 == 0, 0, np.where(b1 == 0, 1, -1)).astype(np.int64)
+
+
+def sample_uniform_ints(rng: Surf, n: int, q: int) -> list[int]:
+    """Uniform mod-q-width coefficients (ref: src/sample.c:133-141).
+
+    Draws nbits(q) bits per coefficient; values are in [0, 2^nbits(q)), which
+    may exceed q — the reference stores them unreduced too."""
+    qbits = q.bit_length()
+    nbytes = qbits // 8 + 1
+    out = []
+    for _ in range(n):
+        buf = rng.randombytes(nbytes)
+        out.append(load_nbits_le(buf, qbits))
+    return out
+
+
+def c_round(x: np.ndarray) -> np.ndarray:
+    """C round(): ties away from zero (numpy rounds half-to-even)."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
+def gaussian_pdf_check(vec: np.ndarray) -> float:
+    """Helper for sampler sanity tests: empirical std."""
+    return float(np.std(vec.astype(np.float64)))

@@ -1,0 +1,582 @@
+"""CKKS scheme engine: encode/encrypt/keygen/add/mult/rescale/automorphisms.
+
+TPU-native rebuild of the reference's he-*.c scheme layer:
+  encode/decode      ref: src/he-encode.c:53-125
+  enc/dec            ref: src/he-encrypt.c:37-123
+  keygen + swk       ref: src/he-kem.c:43-169
+  add family         ref: src/he-add.c:32-142
+  mult + relin       ref: src/he-mult.c:40-196
+  rescale/moddown    ref: src/he-rescale.c:33-70
+  conj/rot           ref: src/he-automorphism.c:40-115
+
+Design inversion vs the reference (SURVEY.md §7): ciphertext polys are device
+limb tensors; each scheme op is ONE jitted XLA program per level (levels give
+static shapes).  The divide-round by P in key switching runs without big-int
+division: r = c mod P via a small CRT over the first hectx.dim primes, then
+u = (c - r) * P^-1 mod 2^(32K) — exact, and identical to mpi_rdiv semantics
+(ref: src/types.c:115-128).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import params
+from ..context import HeContext
+from ..ops import limbs as lb
+from ..ops import rns as rns_ops
+from ..ops.modmath import addmod, mulmod
+from ..ops.ntt import intt, ntt
+from ..ring import sample
+from ..ring.canemb import canemb, invcanemb
+from ..ring.poly import RingEngine
+from ..substrate import bigint
+from ..substrate.surf import Surf, default_rng
+from .types import Ciphertext, Plaintext, PublicKey, SecretKey, SwitchKey
+
+
+class CKKS:
+    """Scheme engine bound to one HeContext."""
+
+    def __init__(self, ctx: HeContext, rng: Surf | None = None):
+        self.ctx = ctx
+        self.ring = RingEngine(ctx.poly)
+        self.rng = rng if rng is not None else default_rng()
+        self._jit = {}
+        # fixed widths
+        self.kq = bigint.nlimbs(ctx.q[ctx.L].bit_length())        # ct limbs at top
+        self.pinv16 = bigint.digits16(
+            pow(ctx.P, -1, 1 << (32 * self.kq)), 2 * self.kq)     # P^-1 mod 2^(32 kq)
+        r8 = self.ring.recon(ctx.dim)
+        self.rk8 = r8.ks                                          # width of r = c mod P
+        self.p_half_up = bigint.int_to_limbs((ctx.P + 1) // 2, self.rk8)
+
+    # ------------------------------------------------------------------
+    # width helpers
+    # ------------------------------------------------------------------
+
+    def qbits(self, l: int) -> int:
+        return self.ctx.q[l].bit_length()
+
+    def kl(self, l: int) -> int:
+        return bigint.nlimbs(self.qbits(l))
+
+    def _cached(self, key, builder):
+        if key not in self._jit:
+            self._jit[key] = builder()
+        return self._jit[key]
+
+    # ------------------------------------------------------------------
+    # encode / decode (host <-> device boundary)
+    # ------------------------------------------------------------------
+
+    def ecd(self, m: np.ndarray, nu: float | None = None) -> Plaintext:
+        """Encode complex slots into an integral polynomial
+        (ref: src/he-encode.c:53-64, he_ecd:107-111)."""
+        ctx = self.ctx
+        nu = ctx.Delta if nu is None else nu
+        u = invcanemb(np.asarray(m, dtype=np.complex128), ctx.slots,
+                      ctx.poly.cyc_group, ctx.poly.ring_zetas, ctx.poly.m)
+        n = ctx.poly.n
+        nh = n // 2
+        gap = nh // ctx.slots
+        re = sample.c_round(u.real * nu)
+        im = sample.c_round(u.imag * nu)
+        if np.max(np.abs(np.concatenate([re, im]))) < 2**62:
+            coeffs = np.zeros(n, dtype=np.int64)
+            coeffs[0:nh:gap] = re.astype(np.int64)
+            coeffs[nh::gap] = im.astype(np.int64)
+            limbs = jnp.asarray(bigint.i64_to_limbs(coeffs, self.kq))
+        else:  # huge scales (bootstrap modulus raise) go through exact ints
+            coeffs = [0] * n
+            for i in range(ctx.slots):
+                coeffs[i * gap] = int(re[i])
+                coeffs[i * gap + nh] = int(im[i])
+            limbs = jnp.asarray(bigint.ints_to_limbs(coeffs, self.kq))
+        return Plaintext(nu=float(nu), m=limbs, mod_bits=32 * self.kq)
+
+    def dcd(self, pt: Plaintext) -> np.ndarray:
+        """Decode plaintext back to complex slots (ref: src/he-encode.c:67-74)."""
+        ctx = self.ctx
+        n = ctx.poly.n
+        nh = n // 2
+        gap = nh // ctx.slots
+        vals = bigint.limbs_to_ints(np.asarray(pt.m))
+        mod = 1 << pt.mod_bits
+        half = mod >> 1
+        cent = [(v & (mod - 1)) for v in vals]
+        cent = [v - mod if v >= half else v for v in cent]
+        m = np.empty(ctx.slots, dtype=np.complex128)
+        for i in range(ctx.slots):
+            m[i] = float(cent[i * gap]) / pt.nu + 1j * float(cent[i * gap + nh]) / pt.nu
+        return canemb(m, ctx.slots, ctx.poly.cyc_group, ctx.poly.ring_zetas, ctx.poly.m)
+
+    def const_pt(self, num: complex) -> Plaintext:
+        """Constant plaintext (ref: src/he-encode.c:119-125)."""
+        ctx = self.ctx
+        n = ctx.poly.n
+        nh = n // 2
+        coeffs = [0] * n
+        coeffs[0] = int(sample.c_round(np.float64(num.real) * ctx.Delta))
+        coeffs[nh] = int(sample.c_round(np.float64(num.imag) * ctx.Delta))
+        limbs = jnp.asarray(bigint.ints_to_limbs(coeffs, self.kq))
+        return Plaintext(nu=ctx.Delta, m=limbs, mod_bits=32 * self.kq)
+
+    # ------------------------------------------------------------------
+    # keygen (ref: src/he-kem.c)
+    # ------------------------------------------------------------------
+
+    def _poly_to_ints_signed(self, limbs, mod_bits: int) -> list[int]:
+        vals = bigint.limbs_to_ints(np.asarray(limbs))
+        mod = 1 << mod_bits
+        half = mod >> 1
+        return [(v & (mod - 1)) - mod if (v & (mod - 1)) >= half else v & (mod - 1)
+                for v in vals]
+
+    def keypair(self) -> tuple[PublicKey, SecretKey]:
+        """sk + pk (ref: src/he-kem.c:43-71); sampling order sk, e, p1."""
+        ctx = self.ctx
+        n = ctx.poly.n
+        qL = ctx.q[ctx.L]
+        sk = jnp.asarray(bigint.ints_to_limbs(
+            [int(x) for x in sample.sample_sk(self.rng, n)], 1))
+        e = sample.sample_error(self.rng, n)
+        p1 = jnp.asarray(bigint.ints_to_limbs(
+            sample.sample_uniform_ints(self.rng, n, qL), self.kq))
+        prod = self.ring.poly_mul(sk, p1, ctx.dim, qL.bit_length(), self.kq,
+                                  signed_a=32, signed_b=None)
+        e_l = jnp.asarray(bigint.ints_to_limbs([int(x) for x in e], self.kq))
+        p0 = self._neg_add_mask(prod, e_l, qL.bit_length())
+        return PublicKey(p0=p0, p1=p1), SecretKey(s=sk)
+
+    def _neg_add_mask(self, a, b, qb):
+        key = ("negadd", a.shape, qb)
+
+        def build():
+            @jax.jit
+            def f(x, y):
+                return lb.mask_bits(lb.add(lb.neg(x), y), qb)
+            return f
+        return self._cached(key, build)(a, b)
+
+    def genswk(self, sp_ints: list[int], sk: SecretKey) -> SwitchKey:
+        """Key-switching key for secret sp (ref: src/he-kem.c:74-118).
+        Sampling order: e, then swkp1."""
+        ctx = self.ctx
+        n = ctx.poly.n
+        PqL = ctx.PqL
+        e = sample.sample_error(self.rng, n)
+        swkp1_ints = sample.sample_uniform_ints(self.rng, n, PqL)
+        k_big = bigint.nlimbs(PqL.bit_length())
+        swkp1 = jnp.asarray(bigint.ints_to_limbs(swkp1_ints, k_big))
+        dim = ctx.dim_genswk()
+        prod_bits = 32 * (k_big + 2)
+        prod = self.ring.poly_mul(swkp1, sk.s, dim, prod_bits, k_big + 2,
+                                  signed_a=None, signed_b=32)
+        prod_ints = self._poly_to_ints_signed(prod, prod_bits)
+        swkp0_ints = [(-c + int(ei) + ctx.P * spi) % PqL
+                      for c, ei, spi in zip(prod_ints, e, sp_ints)]
+        swkp0 = jnp.asarray(bigint.ints_to_limbs(swkp0_ints, k_big))
+        # NTT-resident storage over the dimswk basis (ref: src/he-kem.c:103-110)
+        p0hat = self.ring.fwd_ntt(swkp0, ctx.dimswk)
+        p1hat = self.ring.fwd_ntt(swkp1, ctx.dimswk)
+        return SwitchKey(p0hat=p0hat, p1hat=p1hat)
+
+    def genrlk(self, sk: SecretKey) -> SwitchKey:
+        """Relinearization key from sk^2 (ref: src/he-kem.c:120-136)."""
+        ctx = self.ctx
+        s2 = self.ring.poly_mul(sk.s, sk.s, ctx.dim_rlk_s2(), 64, 2,
+                                signed_a=32, signed_b=32)
+        s2_ints = self._poly_to_ints_signed(s2, 64)
+        return self.genswk(s2_ints, sk)
+
+    def genck(self, sk: SecretKey) -> SwitchKey:
+        """Conjugation key from conj(sk) (ref: src/he-kem.c:139-152)."""
+        sk_ints = self._poly_to_ints_signed(sk.s, 32)
+        n = self.ctx.poly.n
+        conj = [0] * n
+        conj[0] = sk_ints[0]
+        for i in range(1, n):
+            conj[i] = -sk_ints[n - i]
+        return self.genswk(conj, sk)
+
+    def genrk(self, sk: SecretKey, rotations=None) -> dict[int, SwitchKey]:
+        """Rotation key bank, one swk per rotation (ref: src/he-kem.c:154-169).
+
+        The reference generates all `slots` keys eagerly; pass an iterable to
+        restrict (sampling order still matches for the generated subset)."""
+        ctx = self.ctx
+        n, m = ctx.poly.n, ctx.poly.m
+        sk_ints = self._poly_to_ints_signed(sk.s, 32)
+        rots = range(ctx.slots) if rotations is None else rotations
+        out = {}
+        for rot in rots:
+            power = pow(params.ROT, rot, m)
+            rk_ints = [0] * n
+            for i in range(n):
+                k = (i * power) % m
+                if k < n:
+                    rk_ints[k] = sk_ints[i]
+                else:
+                    rk_ints[k - n] = -sk_ints[i]
+            out[rot] = self.genswk(rk_ints, sk)
+        return out
+
+    # ------------------------------------------------------------------
+    # encrypt / decrypt (ref: src/he-encrypt.c)
+    # ------------------------------------------------------------------
+
+    def enc_pk(self, pt: Plaintext, pk: PublicKey) -> Ciphertext:
+        """c = v*pk + (m + e0, e1) smod qL (ref: src/he-encrypt.c:37-73);
+        sampling order v, e0, e1."""
+        ctx = self.ctx
+        n = ctx.poly.n
+        qb = self.qbits(ctx.L)
+        v = jnp.asarray(bigint.ints_to_limbs(
+            [int(x) for x in sample.sample_zo(self.rng, n)], 1))
+        e0 = sample.sample_error(self.rng, n)
+        e1 = sample.sample_error(self.rng, n)
+        c0 = self.ring.poly_mul(pk.p0, v, ctx.dim, qb, self.kq,
+                                signed_a=None, signed_b=32)
+        c1 = self.ring.poly_mul(pk.p1, v, ctx.dim, qb, self.kq,
+                                signed_a=None, signed_b=32)
+        e0_l = jnp.asarray(bigint.ints_to_limbs([int(x) for x in e0], self.kq))
+        e1_l = jnp.asarray(bigint.ints_to_limbs([int(x) for x in e1], self.kq))
+        m_l = lb.resize(pt.m, self.kq)
+        c0 = self._add3_mask(c0, m_l, e0_l, qb)
+        c1 = self._add2_mask(c1, e1_l, qb)
+        nu = pt.nu if pt.nu >= ctx.Delta else ctx.Delta
+        return Ciphertext(l=ctx.L, nu=nu, B=ctx.bounds.Bclean, c0=c0, c1=c1)
+
+    def enc_sk(self, pt: Plaintext, sk: SecretKey) -> Ciphertext:
+        """c1 uniform, c0 = -c1*sk + m + e (ref: src/he-encrypt.c:75-103);
+        sampling order e, c1."""
+        ctx = self.ctx
+        n = ctx.poly.n
+        qb = self.qbits(ctx.L)
+        e = sample.sample_error(self.rng, n)
+        c1 = jnp.asarray(bigint.ints_to_limbs(
+            sample.sample_uniform_ints(self.rng, n, ctx.q[ctx.L]), self.kq))
+        prod = self.ring.poly_mul(c1, sk.s, ctx.dim, qb, self.kq,
+                                  signed_a=None, signed_b=32)
+        e_l = jnp.asarray(bigint.ints_to_limbs([int(x) for x in e], self.kq))
+        m_l = lb.resize(pt.m, self.kq)
+        c0 = self._negadd3_mask(prod, m_l, e_l, qb)
+        nu = pt.nu if pt.nu >= ctx.Delta else ctx.Delta
+        return Ciphertext(l=ctx.L, nu=nu, B=ctx.bounds.Bclean, c0=c0, c1=c1)
+
+    def dec(self, ct: Ciphertext, sk: SecretKey) -> Plaintext:
+        """m = c0 + c1*sk smod q_l (ref: src/he-encrypt.c:105-123)."""
+        ctx = self.ctx
+        qb = self.qbits(ct.l)
+        klv = self.kl(ct.l)
+        dim = ctx.dim_dec(ct.l)
+        prod = self.ring.poly_mul(ct.c1, sk.s, dim, qb, klv,
+                                  signed_a=None, signed_b=32)
+        m = self._add2_mask(prod, lb.resize(ct.c0, klv), qb)
+        return Plaintext(nu=ct.nu, m=m, mod_bits=self.qbits(ct.l) - 1)
+
+    def _add2_mask(self, a, b, qb):
+        key = ("add2", a.shape, qb)
+
+        def build():
+            @jax.jit
+            def f(x, y):
+                return lb.mask_bits(lb.add(x, y), qb)
+            return f
+        return self._cached(key, build)(a, b)
+
+    def _add3_mask(self, a, b, c, qb):
+        key = ("add3", a.shape, qb)
+
+        def build():
+            @jax.jit
+            def f(x, y, z):
+                return lb.mask_bits(lb.add(lb.add(x, y), z), qb)
+            return f
+        return self._cached(key, build)(a, b, c)
+
+    def _negadd3_mask(self, a, b, c, qb):
+        key = ("negadd3", a.shape, qb)
+
+        def build():
+            @jax.jit
+            def f(x, y, z):
+                return lb.mask_bits(lb.add(lb.add(lb.neg(x), y), z), qb)
+            return f
+        return self._cached(key, build)(a, b, c)
+
+    # ------------------------------------------------------------------
+    # add family (ref: src/he-add.c)
+    # ------------------------------------------------------------------
+
+    def add(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        assert ct1.l == ct2.l, "level mismatch (ref: src/he-add.c:35)"
+        qb = self.qbits(ct1.l)
+        return Ciphertext(
+            l=ct1.l, nu=max(ct1.nu, ct2.nu), B=ct1.B + ct2.B,
+            c0=self._add2_mask(ct1.c0, ct2.c0, qb),
+            c1=self._add2_mask(ct1.c1, ct2.c1, qb))
+
+    def sub(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        assert ct1.l == ct2.l
+        qb = self.qbits(ct1.l)
+        key = ("sub2", ct1.c0.shape, qb)
+
+        def build():
+            @jax.jit
+            def f(x, y):
+                return lb.mask_bits(lb.sub(x, y), qb)
+            return f
+        f = self._cached(key, build)
+        return Ciphertext(
+            l=ct1.l, nu=max(ct1.nu, ct2.nu), B=ct1.B + ct2.B,
+            c0=f(ct1.c0, ct2.c0), c1=f(ct1.c1, ct2.c1))
+
+    def neg(self, ct: Ciphertext) -> Ciphertext:
+        qb = self.qbits(ct.l)
+        key = ("negm", ct.c0.shape, qb)
+
+        def build():
+            @jax.jit
+            def f(x):
+                return lb.mask_bits(lb.neg(x), qb)
+            return f
+        f = self._cached(key, build)
+        return Ciphertext(l=ct.l, nu=ct.nu, B=ct.B, c0=f(ct.c0), c1=f(ct.c1))
+
+    def addpt(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+        qb = self.qbits(ct.l)
+        klv = self.kl(ct.l)
+        c0 = self._add2_mask(ct.c0, lb.resize(pt.m, klv), qb)
+        return Ciphertext(l=ct.l, nu=max(ct.nu, pt.nu), B=ct.B,
+                          c0=c0, c1=lb.mask_bits(ct.c1, qb))
+
+    def subpt(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+        qb = self.qbits(ct.l)
+        klv = self.kl(ct.l)
+        key = ("sub2", ct.c0.shape, qb)
+
+        def build():
+            @jax.jit
+            def f(x, y):
+                return lb.mask_bits(lb.sub(x, y), qb)
+            return f
+        f = self._cached(key, build)
+        return Ciphertext(l=ct.l, nu=max(ct.nu, pt.nu), B=ct.B,
+                          c0=f(ct.c0, lb.resize(pt.m, klv)),
+                          c1=lb.mask_bits(ct.c1, qb))
+
+    # ------------------------------------------------------------------
+    # multiply + relinearize (ref: src/he-mult.c)
+    # ------------------------------------------------------------------
+
+    def _keyswitch_core(self, dhat_fn_dim: int, l: int):
+        """Build the (d * swk) / P + rounding pipeline for level l.
+
+        Computes, for each half h:   u_h = rdiv(d x swk_h, P) mod q_l
+        via the small-CRT remainder trick (module docstring)."""
+        ctx = self.ctx
+        dim = dhat_fn_dim
+        ba = self.ring.ba(dim)
+        plan = self.ring.recon(dim)
+        ba8 = self.ring.ba(ctx.dim)
+        plan8 = self.ring.recon(ctx.dim)
+        qb = self.qbits(l)
+        klv = self.kl(l)
+        kq = self.kq
+        pinv16 = self.pinv16
+        p_half_up = jnp.asarray(self.p_half_up)
+        rk8 = self.rk8
+
+        def half(uh):
+            res = intt(uh, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
+            c = rns_ops.reconstruct(res, ba, plan, center=True)
+            r = rns_ops.reconstruct(res[:ctx.dim], ba8, plan8, center=False)
+            cm = lb.resize(c, kq)
+            rm = lb.resize(r, kq)
+            u = lb.mul_const_mod2k(lb.sub(cm, rm), pinv16, kq)
+            round_bit = lb.geq_const(lb.resize(r, rk8), p_half_up)
+            u = lb.add_scalar_bit(u, round_bit.astype(jnp.uint32))
+            return lb.resize(lb.mask_bits(u, qb), klv)
+        return half
+
+    def mul(self, ct1: Ciphertext, ct2: Ciphertext, rlk: SwitchKey) -> Ciphertext:
+        """Full ciphertext product with relinearization (ref: src/he-mult.c:88-156)."""
+        assert ct1.l == ct2.l
+        ctx = self.ctx
+        l = ct1.l
+        qb = self.qbits(l)
+        klv = self.kl(l)
+        dim_m = ctx.dim_mul(l)
+        dim_s = ctx.dim_swk(l)
+        key = ("he_mul", l)
+
+        def build():
+            bam = self.ring.ba(dim_m)
+            planm = self.ring.recon(dim_m)
+            r2m = jnp.array(ctx.poly.basis(dim_m).r2)
+            bas = self.ring.ba(dim_s)
+            r2s = jnp.array(ctx.poly.basis(dim_s).r2)
+            ks_half = self._keyswitch_core(dim_s, l)
+            wm = self.ring.weights(dim_m, klv)
+            ws = self.ring.weights(dim_s, klv)
+
+            @jax.jit
+            def f(c10, c11, c20, c21, ek0, ek1):
+                # cross terms over the dim_m basis (ref: src/he-mult.c:116-138)
+                def fwd(x):
+                    return ntt(rns_ops.decompose(x, bam, wm), bam.zetas, bam.ps, bam.pinv)
+                x0, x1, y0, y1 = fwd(c10), fwd(c11), fwd(c20), fwd(c21)
+                pm = bam.ps[:, None]
+                pvm = bam.pinv[:, None]
+                d0h = mulmod(x0, y0, pm, pvm, r2m[:, None])
+                d2h = mulmod(x1, y1, pm, pvm, r2m[:, None])
+                d1h = addmod(mulmod(x0, y1, pm, pvm, r2m[:, None]),
+                             mulmod(x1, y0, pm, pvm, r2m[:, None]), pm)
+
+                def back(ch):
+                    res = intt(ch, bam.zetas_inv, bam.ps, bam.pinv, bam.ninv_mont)
+                    c = rns_ops.reconstruct(res, bam, planm, center=True)
+                    return lb.resize(lb.mask_bits(c, qb), klv)
+                d0, d1, d2 = back(d0h), back(d1h), back(d2h)
+                # relinearize d2 with rlk over the dim_s basis (ref: he-mult.c:40-85)
+                d2hat = ntt(rns_ops.decompose(d2, bas, ws), bas.zetas, bas.ps, bas.pinv)
+                ps = bas.ps[:, None]
+                pvs = bas.pinv[:, None]
+                u0h = mulmod(d2hat, ek0[:dim_s], ps, pvs, r2s[:, None])
+                u1h = mulmod(d2hat, ek1[:dim_s], ps, pvs, r2s[:, None])
+                u0 = ks_half(u0h)
+                u1 = ks_half(u1h)
+                c0 = lb.mask_bits(lb.add(u0, d0), qb)
+                c1 = lb.mask_bits(lb.add(u1, d1), qb)
+                return c0, c1
+            return f
+        f = self._cached(key, build)
+        c0, c1 = f(ct1.c0, ct1.c1, ct2.c0, ct2.c1, rlk.p0hat, rlk.p1hat)
+        nu = ct1.nu * ct2.nu
+        B = ct1.nu * ct2.B + ct2.nu * ct1.B + ct1.B * ct2.B + ctx.bounds.Bmult[l]
+        return Ciphertext(l=l, nu=nu, B=B, c0=c0, c1=c1)
+
+    def mulpt(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+        """Plaintext product (ref: src/he-mult.c:159-196)."""
+        ctx = self.ctx
+        l = ct.l
+        qb = self.qbits(l)
+        klv = self.kl(l)
+        dim = ctx.dim_mulpt(l, pt.nu)
+        key = ("he_mulpt", l, dim, pt.m.shape[-1])
+
+        def build():
+            ba = self.ring.ba(dim)
+            plan = self.ring.recon(dim)
+            r2 = jnp.array(ctx.poly.basis(dim).r2)
+            wct = self.ring.weights(dim, klv)
+            mod_bits = 32 * pt.m.shape[-1]
+
+            @jax.jit
+            def f(c0, c1, ptm):
+                pthat = ntt(self.ring._decompose_signed(ptm, dim, mod_bits),
+                            ba.zetas, ba.ps, ba.pinv)
+                p = ba.ps[:, None]
+                pv = ba.pinv[:, None]
+
+                def one(cx):
+                    ch = mulmod(ntt(rns_ops.decompose(cx, ba, wct),
+                                    ba.zetas, ba.ps, ba.pinv),
+                                pthat, p, pv, r2[:, None])
+                    res = intt(ch, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
+                    c = rns_ops.reconstruct(res, ba, plan, center=True)
+                    return lb.resize(lb.mask_bits(c, qb), klv)
+                return one(c0), one(c1)
+            return f
+        f = self._cached(key, build)
+        c0, c1 = f(ct.c0, ct.c1, pt.m)
+        return Ciphertext(l=l, nu=ct.nu * pt.nu, B=ct.B * pt.nu, c0=c0, c1=c1)
+
+    # ------------------------------------------------------------------
+    # rescale / moddown (ref: src/he-rescale.c)
+    # ------------------------------------------------------------------
+
+    def rs(self, ct: Ciphertext) -> Ciphertext:
+        """Divide-round by Delta, drop one level (ref: src/he-rescale.c:33-54)."""
+        ctx = self.ctx
+        lnew = ct.l - 1
+        qb = self.qbits(lnew)
+        klv = self.kl(lnew)
+        logD = ctx.p.bit_length() - 1
+        key = ("rs", ct.l, ct.c0.shape)
+
+        def build():
+            @jax.jit
+            def f(x):
+                return lb.resize(lb.mask_bits(lb.rshift_round(x, logD), qb), klv)
+            return f
+        f = self._cached(key, build)
+        return Ciphertext(l=lnew, nu=ct.nu / ctx.Delta,
+                          B=ct.B / ctx.Delta + ctx.bounds.Brs,
+                          c0=f(ct.c0), c1=f(ct.c1))
+
+    def moddown(self, ct: Ciphertext) -> Ciphertext:
+        """Re-center mod q_{l-1} only (ref: src/he-rescale.c:56-70)."""
+        lnew = ct.l - 1
+        qb = self.qbits(lnew)
+        klv = self.kl(lnew)
+        key = ("moddown", ct.l, ct.c0.shape)
+
+        def build():
+            @jax.jit
+            def f(x):
+                return lb.resize(lb.mask_bits(x, qb), klv)
+            return f
+        f = self._cached(key, build)
+        return Ciphertext(l=lnew, nu=ct.nu, B=ct.B, c0=f(ct.c0), c1=f(ct.c1))
+
+    # ------------------------------------------------------------------
+    # automorphisms (ref: src/he-automorphism.c)
+    # ------------------------------------------------------------------
+
+    def _apply_swk(self, d0, d1, swk: SwitchKey, l: int) -> tuple:
+        """Key switch (d0, d1): c0' = rdiv(d1*swk0, P) + d0, c1' = rdiv(d1*swk1, P)
+        (ref: src/he-automorphism.c:40-85)."""
+        ctx = self.ctx
+        qb = self.qbits(l)
+        klv = self.kl(l)
+        dim_s = ctx.dim_swk(l)
+        key = ("swk", l, d0.shape)
+
+        def build():
+            bas = self.ring.ba(dim_s)
+            r2s = jnp.array(ctx.poly.basis(dim_s).r2)
+            ws = self.ring.weights(dim_s, klv)
+            ks_half = self._keyswitch_core(dim_s, l)
+
+            @jax.jit
+            def f(dd0, dd1, ek0, ek1):
+                dhat = ntt(rns_ops.decompose(dd1, bas, ws), bas.zetas, bas.ps, bas.pinv)
+                ps = bas.ps[:, None]
+                pvs = bas.pinv[:, None]
+                u0 = ks_half(mulmod(dhat, ek0[:dim_s], ps, pvs, r2s[:, None]))
+                u1 = ks_half(mulmod(dhat, ek1[:dim_s], ps, pvs, r2s[:, None]))
+                c0 = lb.mask_bits(lb.add(u0, dd0), qb)
+                return c0, u1
+            return f
+        return self._cached(key, build)(d0, d1, swk.p0hat, swk.p1hat)
+
+    def conj(self, ct: Ciphertext, ck: SwitchKey) -> Ciphertext:
+        """Complex conjugation (ref: src/he-automorphism.c:87-100)."""
+        qb = self.qbits(ct.l)
+        d0 = self.ring.galois(ct.c0, None, qb)
+        d1 = self.ring.galois(ct.c1, None, qb)
+        c0, c1 = self._apply_swk(d0, d1, ck, ct.l)
+        return Ciphertext(l=ct.l, nu=ct.nu, B=ct.B, c0=c0, c1=c1)
+
+    def rot(self, ct: Ciphertext, r: int, rk: dict[int, SwitchKey]) -> Ciphertext:
+        """Slot rotation by r (ref: src/he-automorphism.c:102-115)."""
+        qb = self.qbits(ct.l)
+        d0 = self.ring.galois(ct.c0, r, qb)
+        d1 = self.ring.galois(ct.c1, r, qb)
+        c0, c1 = self._apply_swk(d0, d1, rk[r], ct.l)
+        return Ciphertext(l=ct.l, nu=ct.nu, B=ct.B, c0=c0, c1=c1)

@@ -74,6 +74,19 @@ def limbs_to_signed_ints(a: np.ndarray, nbits: int | None = None) -> list:
     return [v - mod if (v & (mod - 1)) >= half else (v & (mod - 1)) for v in vals]
 
 
+def i64_to_limbs(vals: np.ndarray, k: int) -> np.ndarray:
+    """int64 array [n] -> u32[n, k] two's complement (fast vectorized path)."""
+    v = np.asarray(vals, dtype=np.int64).astype(np.uint64)
+    out = np.empty((v.shape[0], k), dtype=np.uint32)
+    out[:, 0] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    if k > 1:
+        out[:, 1] = (v >> np.uint64(32)).astype(np.uint32)
+    sign = np.where(np.asarray(vals) < 0, np.uint32(0xFFFFFFFF), np.uint32(0))
+    for i in range(2, k):
+        out[:, i] = sign
+    return out
+
+
 def digits16(x: int, d: int) -> np.ndarray:
     """Int -> u16-digit array of length d (little-endian), as u32 dtype."""
     out = np.empty(d, dtype=np.uint32)

@@ -7,6 +7,9 @@ reproducible bit for bit.  Multi-device tests run on a virtual CPU mesh
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # The session environment may pin JAX_PLATFORMS to the real TPU; tests always
 # run on the virtual CPU mesh, so override unconditionally (both the env var
