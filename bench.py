@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark: negacyclic NTT throughput per chip at N = 2^16.
+
+North-star metric from BASELINE.md ("NTT ops/s/chip at N=2^16"; the reference
+publishes no numbers, so vs_baseline is the speedup over a vectorized numpy
+CPU implementation of the identical kernel on this host).
+
+Prints ONE JSON line:
+  {"metric": "ntt_n65536_ops_per_sec", "value": N, "unit": "ntt/s", "vs_baseline": R}
+One "op" = one forward length-65536 NTT over one 59-bit prime.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def numpy_ntt_baseline(a, zetas, p, pinv):
+    """Same butterfly network, vectorized numpy u64 on host CPU."""
+    M32 = np.uint64(0xFFFFFFFF)
+    S32 = np.uint64(32)
+
+    def mont_mul(x, y):
+        xl = x & M32
+        xh = x >> S32
+        yl = y & M32
+        yh = y >> S32
+        ll = xl * yl
+        lh = xl * yh
+        hl = xh * yl
+        cross = (ll >> S32) + (lh & M32) + (hl & M32)
+        hi = xh * yh + (lh >> S32) + (hl >> S32) + (cross >> S32)
+        lo = (cross << S32) | (ll & M32)
+        u = lo * pinv
+        ul = u & M32
+        uh = u >> S32
+        pl_ = p & M32
+        ph = p >> S32
+        ll2 = ul * pl_
+        lh2 = ul * ph
+        hl2 = uh * pl_
+        cross2 = (ll2 >> S32) + (lh2 & M32) + (hl2 & M32)
+        t = uh * ph + (lh2 >> S32) + (hl2 >> S32) + (cross2 >> S32)
+        r = hi - t
+        return np.where(hi < t, r + p, r)
+
+    n = a.shape[-1]
+    length = n // 2
+    while length >= 1:
+        nblocks = n // (2 * length)
+        x = a.reshape(a.shape[:-1] + (nblocks, 2, length))
+        z = zetas[nblocks:2 * nblocks].reshape(nblocks, 1)
+        x0 = x[..., 0, :]
+        x1 = x[..., 1, :]
+        t = mont_mul(x1, z)
+        s = x0 + t
+        y0 = np.where(s >= p, s - p, s)
+        d = x0 - t
+        y1 = np.where(x0 < t, d + p, d)
+        a = np.stack([y0, y1], axis=-2).reshape(a.shape[:-2] + (a.shape[-2], n))
+        length //= 2
+    return a
+
+
+def main():
+    t_start = time.time()
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gpqhe_tpu.context import PolyContext
+    from gpqhe_tpu.ops import rns as rns_ops
+    from gpqhe_tpu.ops.ntt import ntt
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({time.time()-t_start:.1f}s startup)")
+
+    LOGN, DIM, BATCH = 16, 16, 4
+    n = 1 << LOGN
+    pctx = PolyContext(LOGN, q=1 << 900, dim_cap=DIM)
+    ba = rns_ops.make_basis_arrays(pctx, DIM)
+    log(f"context ready ({time.time()-t_start:.1f}s)")
+
+    rng = np.random.default_rng(0)
+    a_np = np.stack([
+        np.stack([rng.integers(0, p, n, dtype=np.uint64) for p in pctx.primes[:DIM]])
+        for _ in range(BATCH)])
+    a = jnp.asarray(a_np)
+
+    fwd = jax.jit(lambda x: ntt(x, ba.zetas, ba.ps, ba.pinv))
+    out = fwd(a)
+    out.block_until_ready()
+    log(f"compiled ({time.time()-t_start:.1f}s)")
+
+    # correctness spot check vs numpy baseline on one (batch, prime)
+    check = numpy_ntt_baseline(a_np[0, 0:1].copy(), pctx.prime_ctx[0].zetas,
+                               np.uint64(pctx.primes[0]),
+                               np.uint64(pctx.prime_ctx[0].pinv_mont))
+    assert np.array_equal(np.asarray(out)[0, 0], check[0]), "TPU NTT mismatch vs host"
+    log("correctness check passed")
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(out)
+    out.block_until_ready()
+    dt = time.time() - t0
+    ops_per_sec = BATCH * DIM * iters / dt
+    log(f"device: {iters} iters of [{BATCH},{DIM},{n}] in {dt:.3f}s -> {ops_per_sec:.1f} ntt/s")
+
+    # CPU baseline: one pass over the same tensor shape
+    b_np = a_np.copy()
+    t0 = time.time()
+    base_iters = 1
+    for _ in range(base_iters):
+        b_np = numpy_ntt_baseline(b_np, pctx.prime_ctx[0].zetas,
+                                  np.uint64(pctx.primes[0]),
+                                  np.uint64(pctx.prime_ctx[0].pinv_mont))
+    base_dt = time.time() - t0
+    base_ops = BATCH * DIM * base_iters / base_dt
+    log(f"numpy-cpu baseline: {base_ops:.1f} ntt/s")
+
+    print(json.dumps({
+        "metric": "ntt_n65536_ops_per_sec",
+        "value": round(ops_per_sec, 2),
+        "unit": "ntt/s",
+        "vs_baseline": round(ops_per_sec / base_ops, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -135,6 +135,28 @@ def rshift_round(a, t: int, k_out: int | None = None):
     return add_scalar_bit(q, round_up.astype(jnp.uint32))
 
 
+def sign_extend(a, k_out: int):
+    """Two's-complement widen: replicate the top bit into new limbs."""
+    k = a.shape[-1]
+    if k_out <= k:
+        return a[..., :k_out]
+    top = ((a[..., k - 1] >> jnp.uint32(31)) & jnp.uint32(1)) * jnp.uint32(0xFFFFFFFF)
+    ext = jnp.broadcast_to(top[..., None], a.shape[:-1] + (k_out - k,))
+    return jnp.concatenate([a, ext], axis=-1)
+
+
+def fit_signed(a, mask_to_bits: int, k_out: int):
+    """Reduce a two's-complement value mod 2^mask_to_bits and emit k_out limbs.
+
+    When widening past the source width the value must be SIGN-extended first
+    (zero-extension corrupts negative values — the value mod 2^(32 k_out)
+    changes); when narrowing, plain truncation is the correct mod."""
+    src_bits = 32 * a.shape[-1]
+    if mask_to_bits >= src_bits and k_out > a.shape[-1]:
+        a = sign_extend(a, k_out)
+    return resize(mask_bits(a, min(mask_to_bits, 32 * a.shape[-1])), k_out)
+
+
 def resize(a, k_out: int):
     """Zero-extend or truncate to k_out limbs (value mod 2^(32 k_out))."""
     k = a.shape[-1]
@@ -155,21 +177,30 @@ def to_digits16(a):
 
 def from_digits16(d, k_out: int):
     """u64[..., D] 16-bit digit sums (each < 2^48) -> u32[..., k_out] limbs,
-    with carry propagation; value taken mod 2^(32 k_out)."""
+    with carry propagation; value taken mod 2^(32 k_out).
+
+    Carry is inherently sequential; a lax.scan over the digit axis keeps the
+    XLA graph small (the unrolled version dominated compile time)."""
+    import jax
+
     ddim = d.shape[-1]
-    carry = jnp.zeros(d.shape[:-1], dtype=jnp.uint64)
-    digits = []
-    for i in range(min(ddim, 2 * k_out)):
-        s = d[..., i] + carry
-        digits.append(s & jnp.uint64(0xFFFF))
-        carry = s >> jnp.uint64(16)
-    while len(digits) < 2 * k_out:
-        digits.append(carry & jnp.uint64(0xFFFF))
-        carry = carry >> jnp.uint64(16)
-    outs = []
-    for i in range(k_out):
-        outs.append((digits[2 * i] | (digits[2 * i + 1] << jnp.uint64(16))).astype(jnp.uint32))
-    return jnp.stack(outs, axis=-1)
+    want = 2 * k_out
+    if ddim < want:
+        pad = [(0, 0)] * (d.ndim - 1) + [(0, want - ddim)]
+        d = jnp.pad(d, pad)
+    elif ddim > want:
+        d = d[..., :want]
+    dt = jnp.moveaxis(d, -1, 0)  # [want, ...]
+
+    def step(carry, di):
+        s = di + carry
+        return s >> jnp.uint64(16), s & jnp.uint64(0xFFFF)
+
+    _, digits = jax.lax.scan(step, jnp.zeros(d.shape[:-1], dtype=jnp.uint64), dt)
+    digits = jnp.moveaxis(digits, 0, -1)  # [..., want]
+    lo = digits[..., 0::2]
+    hi = digits[..., 1::2]
+    return (lo | (hi << jnp.uint64(16))).astype(jnp.uint32)
 
 
 def mul_const_mod2k(a, c16: np.ndarray, k_out: int):
@@ -179,18 +210,18 @@ def mul_const_mod2k(a, c16: np.ndarray, k_out: int):
     bounded by 2*k_out * 2^32 < 2^48, safe in u64.
     """
     d_out = 2 * k_out
-    a16 = to_digits16(a)  # [..., 2K]
+    a16 = to_digits16(a).astype(jnp.float64)  # [..., 2K]
     da = a16.shape[-1]
     c = np.asarray(c16, dtype=np.uint64)
-    dc = c.shape[0]
-    acc = [jnp.zeros(a.shape[:-1], dtype=jnp.uint64) for _ in range(d_out)]
-    for v in range(min(dc, d_out)):
-        cv = jnp.uint64(int(c[v]))
-        if int(c[v]) == 0:
-            continue
-        for u in range(min(da, d_out - v)):
-            acc[u + v] = acc[u + v] + a16[..., u] * cv
-    return from_digits16(jnp.stack(acc, axis=-1), k_out)
+    # Toeplitz band: M[u, s] = c16[s - u]; digit sums <= d_out * 2^32 < 2^37,
+    # exact in f64 (also on TPU's emulated f64 — verified range).
+    M = np.zeros((da, d_out), dtype=np.float64)
+    for u in range(da):
+        hi = min(d_out - u, c.shape[0])
+        if hi > 0:
+            M[u, u:u + hi] = c[:hi].astype(np.float64)
+    acc = jnp.matmul(a16, jnp.asarray(M))
+    return from_digits16(acc.astype(jnp.uint64), k_out)
 
 
 def to_f64_centered(a, q_bits: int):

@@ -98,9 +98,8 @@ def make_decomp_weights(poly_ctx, dim: int, k_limbs: int) -> np.ndarray:
     return out
 
 
-def decompose(a, ba: BasisArrays, weights) -> jnp.ndarray:
-    """u32[..., n, K] -> u64[..., dim, n]: a mod p_d per prime
-    (ref: src/rns.c:37-48; input is a nonnegative representative)."""
+def decompose_core(a, ps, pinv, weights) -> jnp.ndarray:
+    """All-arrays decompose (shardable: pass per-shard ps/pinv/weights)."""
     k = a.shape[-1]
     j_digits = (k + 1) // 2
     if k % 2:
@@ -109,8 +108,6 @@ def decompose(a, ba: BasisArrays, weights) -> jnp.ndarray:
     # u64 digits c_j = limb[2j] | limb[2j+1] << 32 -> [..., n, J]
     c = au[..., 0::2] | (au[..., 1::2] << jnp.uint64(32))
     w = jnp.asarray(weights)  # [dim, J]
-    ps = ba.ps
-    pinv = ba.pinv
     # accumulate over digits, keeping partial sums < p
     acc = None
     for j in range(j_digits):
@@ -124,6 +121,65 @@ def decompose(a, ba: BasisArrays, weights) -> jnp.ndarray:
     return acc
 
 
+def decompose(a, ba: BasisArrays, weights) -> jnp.ndarray:
+    """u32[..., n, K] -> u64[..., dim, n]: a mod p_d per prime
+    (ref: src/rns.c:37-48; input is a nonnegative representative)."""
+    return decompose_core(a, ba.ps, ba.pinv, weights)
+
+
+def phat_shift_table(plan: ReconPlan) -> np.ndarray:
+    """f64[4, dim, ds]: phat_shift[t][d, s] = phat16[d, s - t]."""
+    ds = plan.ds
+    out = np.zeros((4, plan.dim, ds), dtype=np.float64)
+    for t in range(4):
+        out[t, :, t:] = plan.phat16[:, :ds - t].astype(np.float64)
+    return out
+
+
+def reconstruct_core(res, ps, pinv, phatinv_mont, phat_shift, inv_p, negP16,
+                     MminusP_limbs, P_limbs, Phalf_limbs, ks: int, dim_total: int,
+                     center: bool = True, axis_name: str | None = None):
+    """All-arrays CRT reconstruction (shardable over the prime axis).
+
+    When axis_name is given, `res`/constants hold only this shard's primes and
+    the digit sums + alpha estimate are combined with a psum over that mesh
+    axis (the CRT partial-sum collective, SURVEY.md §2).
+    """
+    psb = ps[:, None]
+    pinvb = pinv[:, None]
+    y = mont_mul(res, phatinv_mont[:, None], psb, pinvb)  # [..., dim, n]
+    # S = sum_d y_d * phat_d in 16-bit digit planes, accumulated as EXACT f64
+    # matmuls: every product <= (2^16-1)^2 < 2^32 and every digit sum
+    # <= 4*dim*2^32 < 2^41 << 2^53, so f64 arithmetic here is integer-exact
+    # (verified exact on TPU's emulated f64 in this range).
+    s_digits = None
+    for t in range(4):
+        yt = ((y >> jnp.uint64(16 * t)) & jnp.uint64(0xFFFF)).astype(jnp.float64)
+        # contract over dim: [..., dim, n] x [dim, ds] -> [..., n, ds]
+        part = jnp.einsum("...dn,ds->...ns", yt, phat_shift[t])
+        s_digits = part if s_digits is None else s_digits + part
+    # alpha = floor(S / P) estimated in f64, corrected exactly below
+    af = jnp.einsum("...dn,d->...n", y.astype(jnp.float64), inv_p)
+    if axis_name is not None:
+        import jax
+        s_digits = jax.lax.psum(s_digits, axis_name)
+        af = jax.lax.psum(af, axis_name)
+    alpha = jnp.clip(jnp.floor(af), 0.0, float(dim_total))
+    # S - alpha*P == S + alpha*(M - P) mod M  (still exact in f64: < 2^42)
+    s_digits = s_digits + alpha[..., None] * negP16
+    r = lb.from_digits16(s_digits.astype(jnp.uint64), ks)  # u32[..., n, ks]
+    # correct alpha off-by-one: E in (-P, 2P)
+    r = lb.select(lb.geq_const(r, MminusP_limbs),
+                  lb.add(r, jnp.broadcast_to(P_limbs, r.shape)), r)
+    r = lb.select(lb.geq_const(r, P_limbs),
+                  lb.sub(r, jnp.broadcast_to(P_limbs, r.shape)), r)
+    if center:
+        # smod P (ref: src/types.c:108-113 with q=P)
+        r = lb.select(lb.geq_const(r, Phalf_limbs),
+                      lb.sub(r, jnp.broadcast_to(P_limbs, r.shape)), r)
+    return r
+
+
 def reconstruct(res, ba: BasisArrays, plan: ReconPlan, center: bool = True) -> jnp.ndarray:
     """u64[..., dim, n] -> u32[..., n, ks] limbs mod 2^(32 ks).
 
@@ -131,36 +187,11 @@ def reconstruct(res, ba: BasisArrays, plan: ReconPlan, center: bool = True) -> j
     ref: src/poly.c:109-120 first smod), two's complement.
     center=False: the nonnegative residue in [0, P) (used by the key-switch
     divide-by-P path, which needs r = c mod P exactly)."""
-    ps = ba.ps[:, None]
-    pinv = ba.pinv[:, None]
-    y = mont_mul(res, ba.phatinv_mont[:, None], ps, pinv)  # [..., dim, n]
-    ds = plan.ds
-    # S = sum_d y_d * phat_d in 16-bit digit planes, accumulated as EXACT f64
-    # matmuls: every product <= (2^16-1)^2 < 2^32 and every digit sum
-    # <= 4*dim*2^32 < 2^41 << 2^53, so f64 arithmetic here is integer-exact.
-    # phat_shift[t][d, s] = phat16[d, s - t]
-    phat_shift = np.zeros((4, plan.dim, ds), dtype=np.float64)
-    for t in range(4):
-        phat_shift[t, :, t:] = plan.phat16[:, :ds - t].astype(np.float64)
-    s_digits = None
-    for t in range(4):
-        yt = ((y >> jnp.uint64(16 * t)) & jnp.uint64(0xFFFF)).astype(jnp.float64)
-        # contract over dim: [..., dim, n] x [dim, ds] -> [..., n, ds]
-        part = jnp.einsum("...dn,ds->...ns", yt, jnp.asarray(phat_shift[t]))
-        s_digits = part if s_digits is None else s_digits + part
-    # alpha = floor(S / P) estimated in f64, corrected exactly below
-    af = jnp.einsum("...dn,d->...n", y.astype(jnp.float64), jnp.asarray(plan.inv_p))
-    alpha = jnp.clip(jnp.floor(af), 0.0, float(plan.dim))
-    # S - alpha*P == S + alpha*(M - P) mod M  (still exact in f64: < 2^42)
-    s_digits = s_digits + alpha[..., None] * jnp.asarray(plan.negP16.astype(np.float64))
-    r = lb.from_digits16(s_digits.astype(jnp.uint64), plan.ks)  # u32[..., n, ks]
-    # correct alpha off-by-one: E in (-P, 2P)
-    mp = jnp.asarray(plan.MminusP_limbs)
-    pl = jnp.asarray(plan.P_limbs)
-    r = lb.select(lb.geq_const(r, mp), lb.add(r, jnp.broadcast_to(pl, r.shape)), r)
-    r = lb.select(lb.geq_const(r, pl), lb.sub(r, jnp.broadcast_to(pl, r.shape)), r)
-    if center:
-        # smod P (ref: src/types.c:108-113 with q=P)
-        ph = jnp.asarray(plan.Phalf_limbs)
-        r = lb.select(lb.geq_const(r, ph), lb.sub(r, jnp.broadcast_to(pl, r.shape)), r)
-    return r
+    return reconstruct_core(
+        res, ba.ps, ba.pinv, ba.phatinv_mont,
+        jnp.asarray(phat_shift_table(plan)),
+        jnp.asarray(plan.inv_p),
+        jnp.asarray(plan.negP16.astype(np.float64)),
+        jnp.asarray(plan.MminusP_limbs), jnp.asarray(plan.P_limbs),
+        jnp.asarray(plan.Phalf_limbs),
+        ks=plan.ks, dim_total=plan.dim, center=center)

@@ -146,7 +146,7 @@ class RingEngine:
             def f(ch):
                 res = intt(ch, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
                 c = rns_ops.reconstruct(res, ba, plan, center=center)
-                return lb.resize(lb.mask_bits(c, mask_to_bits), k_out)
+                return lb.fit_signed(c, mask_to_bits, k_out)
             return f
         return self._cached(key, build)(chat)
 
@@ -182,7 +182,7 @@ class RingEngine:
                 ch = mulmod(xh, yh, ba.ps[:, None], ba.pinv[:, None], r2[:, None])
                 res = intt(ch, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
                 c = rns_ops.reconstruct(res, ba, plan, center=True)
-                return lb.resize(lb.mask_bits(c, mask_to_bits), k_out)
+                return lb.fit_signed(c, mask_to_bits, k_out)
             return f
         return self._cached(key, build)(a, b)
 

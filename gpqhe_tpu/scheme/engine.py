@@ -403,11 +403,11 @@ class CKKS:
             return lb.resize(lb.mask_bits(u, qb), klv)
         return half
 
-    def mul(self, ct1: Ciphertext, ct2: Ciphertext, rlk: SwitchKey) -> Ciphertext:
-        """Full ciphertext product with relinearization (ref: src/he-mult.c:88-156)."""
-        assert ct1.l == ct2.l
+    def mul_step_fn(self, l: int):
+        """The raw jitted he_mul program for level l:
+        (c10, c11, c20, c21, ek0, ek1) -> (c0, c1).  Also the flagship
+        compile-check entry point (__graft_entry__)."""
         ctx = self.ctx
-        l = ct1.l
         qb = self.qbits(l)
         klv = self.kl(l)
         dim_m = ctx.dim_mul(l)
@@ -454,7 +454,14 @@ class CKKS:
                 c1 = lb.mask_bits(lb.add(u1, d1), qb)
                 return c0, c1
             return f
-        f = self._cached(key, build)
+        return self._cached(key, build)
+
+    def mul(self, ct1: Ciphertext, ct2: Ciphertext, rlk: SwitchKey) -> Ciphertext:
+        """Full ciphertext product with relinearization (ref: src/he-mult.c:88-156)."""
+        assert ct1.l == ct2.l
+        ctx = self.ctx
+        l = ct1.l
+        f = self.mul_step_fn(l)
         c0, c1 = f(ct1.c0, ct1.c1, ct2.c0, ct2.c1, rlk.p0hat, rlk.p1hat)
         nu = ct1.nu * ct2.nu
         B = ct1.nu * ct2.B + ct2.nu * ct1.B + ct1.B * ct2.B + ctx.bounds.Bmult[l]

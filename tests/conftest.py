@@ -22,6 +22,12 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: scheme-op programs are large (u64 emulation),
+# ~10-20s each to compile; cache makes repeated test runs fast.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 

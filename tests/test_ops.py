@@ -90,6 +90,20 @@ def test_limb_arith():
     assert got == [(x * c) % mod for x in xs]
 
 
+def test_fit_signed():
+    """Widening a signed value must sign-extend (regression: genswk corrupted
+    negative products when k_out exceeded the reconstruction width)."""
+    K = 4
+    vals = [-5, 7, -(1 << 100), (1 << 100) + 3]
+    ax = jnp.array(bigint.ints_to_limbs(vals, K))
+    wide = np.asarray(lb.fit_signed(ax, 32 * 8, 8))
+    assert bigint.limbs_to_signed_ints(wide) == vals
+    narrowed = np.asarray(lb.fit_signed(ax, 64, 2))
+    assert bigint.limbs_to_ints(narrowed) == [v % (1 << 64) for v in vals]
+    masked_wide = np.asarray(lb.fit_signed(ax, 100, 8))
+    assert bigint.limbs_to_ints(masked_wide) == [v % (1 << 100) for v in vals]
+
+
 def test_to_f64_centered():
     K = 5
     qb = 130
