@@ -95,7 +95,11 @@ def main():
         for _ in range(BATCH)])
     a = jnp.asarray(a_np)
 
-    fwd = jax.jit(lambda x: ntt(x, ba.zetas, ba.ps, ba.pinv))
+    # twiddles as ARGUMENTS, not closure constants (8MB MLIR constants choke
+    # the remote-compile path)
+    fwd2 = jax.jit(ntt)
+    zet, ps, pinv = ba.zetas, ba.ps, ba.pinv
+    fwd = lambda x: fwd2(x, zet, ps, pinv)
     out = fwd(a)
     out.block_until_ready()
     log(f"compiled ({time.time()-t_start:.1f}s)")

@@ -378,3 +378,15 @@ class HeContext:
     def dim_rlk_s2(self, ) -> int:
         """s^2 product dim in genrlk (ref: src/he-kem.c:130)."""
         return self.q[self.L].bit_length() // self.logp_prime + 1
+
+    def kemctx(self, ssbytes: int = 0) -> dict:
+        """KEM byte-size context (ref: src/precomp.c:455-463; vestigial in the
+        reference — sizes computed but never used for I/O)."""
+        polybytes = (self.poly.logq + 1) * self.poly.n // 8
+        return {
+            "polybytes": polybytes,
+            "pkbytes": polybytes + params.SYMBYTES,
+            "skbytes": polybytes,
+            "ssbytes": (self.slots * (self.poly.n // 2) * 16
+                        if self.slots else ssbytes),
+        }

@@ -69,6 +69,32 @@ def to_mont(a, p, pinv, r2):
     return mont_mul(a, r2, p, pinv)
 
 
+def barrett_inv(q: int) -> int:
+    """Host: 2^(2*nbits(q)) / q (ref: src/reduce.c:75-78)."""
+    return (1 << (2 * q.bit_length())) // q
+
+
+def barrett_reduce(hi, lo, q, qinv, qbits: int):
+    """(hi,lo) 128-bit value mod q via Barrett (ref: src/reduce.c:88-106).
+
+    qinv = floor(2^(2*qbits)/q); requires 2*qbits >= 64.  Semantically equal
+    to the Montgomery-pair mulmod used on the hot path; kept for parity and
+    for callers that have values (not products) to reduce."""
+    t_hi1, t_lo1 = mulhilo64(lo, qinv)
+    t2_hi, t2_lo = mulhilo64(hi, qinv)
+    # t = (lo*qinv >> 64) + hi*qinv  as a 128-bit value
+    t_lo = t_hi1 + t2_lo
+    carry = (t_lo < t2_lo).astype(jnp.uint64)
+    t_hi = t2_hi + carry
+    shift = 2 * qbits - 64
+    if shift > 0:
+        t_shifted = (t_lo >> jnp.uint64(shift)) | (t_hi << jnp.uint64(64 - shift))
+    else:
+        t_shifted = t_lo
+    r = lo - t_shifted * q
+    return jnp.where(r >= q, r - q, r)
+
+
 def addmod(a, b, p):
     """(a + b) mod p for a, b in [0, p) with p < 2^63."""
     s = a + b

@@ -104,6 +104,58 @@ def sample_uniform_ints(rng: Surf, n: int, q: int) -> list[int]:
     return out
 
 
+def poly_uniform(n: int, seed: bytes, q: int, blksiz: int = params.BLKSIZ) -> np.ndarray:
+    """Kyber-style seeded uniform sampler via SHAKE128 rejection
+    (ref: src/poly.c:129-155; unused by the HE path but part of the surface).
+
+    Generates n coefficients in blocks of blksiz, domain-separating each
+    block with its index, rejecting 16-bit candidates >= 5*q."""
+    from ..substrate import fips202
+
+    out = np.zeros(n, dtype=np.uint64)
+    bound = 5 * q
+    for i in range(n // blksiz):
+        sp = fips202.KeccakSponge(fips202.SHAKE128_RATE, 0x1F)
+        sp.absorb(bytes(seed) + bytes([i]))
+        ctr = 0
+        while ctr < blksiz:
+            buf = sp.squeezeblocks(1)
+            for j in range(0, fips202.SHAKE128_RATE - 1, 2):
+                if ctr >= blksiz:
+                    break
+                val = buf[j] | (buf[j + 1] << 8)
+                if val < bound:
+                    out[i * blksiz + ctr] = val
+                    ctr += 1
+    return out
+
+
+def _hw(a: int) -> int:
+    return bin(a & 0xFF).count("1")
+
+
+def poly_sample(n: int, seed: bytes, nonce: int, blksiz: int = params.BLKSIZ) -> np.ndarray:
+    """Kyber/NewHope-style CBD sampler via SHAKE256 (ref: src/poly.c:201-261;
+    Hamming-weight difference of byte pairs plus the cbd() overwrite quirk —
+    the reference writes both r[64i+j] and r[64i+j/2(+1)], last write wins)."""
+    from ..substrate import fips202
+
+    out = np.zeros(n, dtype=np.int64)
+    for i in range(n // blksiz):
+        buf = fips202.shake256(blksiz * 2, bytes(seed) + bytes([nonce, i]))
+        for j in range(blksiz):
+            out[blksiz * i + j] = _hw(buf[2 * j]) - _hw(buf[2 * j + 1])
+            t = int.from_bytes(buf[j:j + 4], "little")
+            d = 0
+            for k in range(8):
+                d += (t >> k) & 0x01010101
+            a, b = d & 0xFF, (d >> 8) & 0xFF
+            c, e = (d >> 16) & 0xFF, (d >> 24) & 0xFF
+            out[blksiz * i + j // 2] = a - b
+            out[blksiz * i + j // 2 + 1] = c - e
+    return out
+
+
 def c_round(x: np.ndarray) -> np.ndarray:
     """C round(): ties away from zero (numpy rounds half-to-even)."""
     return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))

@@ -113,6 +113,32 @@ class CKKS:
             m[i] = float(cent[i * gap]) / pt.nu + 1j * float(cent[i * gap + nh]) / pt.nu
         return canemb(m, ctx.slots, ctx.poly.cyc_group, ctx.poly.ring_zetas, ctx.poly.m)
 
+    def canemb_norm(self, m: np.ndarray, Delta: float | None = None) -> float:
+        """Canonical-embedding norm of a message (ref: src/he-encode.c:95-104)."""
+        Delta = self.ctx.Delta if Delta is None else Delta
+        m = np.asarray(m, dtype=np.complex128)
+        u = np.concatenate([sample.c_round(m.real * Delta),
+                            sample.c_round(m.imag * Delta)])
+        return float(np.max(np.abs(u)))
+
+    def canemb_norm_pt(self, pt: Plaintext) -> float:
+        """Canonical-embedding norm of an encoded plaintext
+        (ref: src/he-encode.c:77-92)."""
+        ctx = self.ctx
+        n = ctx.poly.n
+        nh = n // 2
+        gap = nh // ctx.slots
+        vals = bigint.limbs_to_ints(np.asarray(pt.m))
+        mod = 1 << pt.mod_bits
+        half = mod >> 1
+        cent = [(v & (mod - 1)) - mod if (v & (mod - 1)) >= half else v & (mod - 1)
+                for v in vals]
+        m = np.array([float(cent[i * gap]) + 1j * float(cent[i * gap + nh])
+                      for i in range(ctx.slots)])
+        m = canemb(m, ctx.slots, ctx.poly.cyc_group, ctx.poly.ring_zetas, ctx.poly.m)
+        u = np.concatenate([sample.c_round(m.real), sample.c_round(m.imag)])
+        return float(np.max(np.abs(u)))
+
     def const_pt(self, num: complex) -> Plaintext:
         """Constant plaintext (ref: src/he-encode.c:119-125)."""
         ctx = self.ctx
