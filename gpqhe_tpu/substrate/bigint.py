@@ -31,17 +31,14 @@ def int_to_limbs(x: int, k: int) -> np.ndarray:
 
 
 def ints_to_limbs(xs, k: int) -> np.ndarray:
-    """Iterable of ints -> u32[len, k], two's complement mod 2**(32k)."""
+    """Iterable of ints -> u32[len, k], two's complement mod 2**(32k).
+
+    Uses int.to_bytes (C speed) instead of per-limb Python arithmetic."""
     xs = list(xs)
-    n = len(xs)
+    nbytes = 4 * k
     mod_mask = (1 << (LIMB_BITS * k)) - 1
-    out = np.empty((n, k), dtype=np.uint32)
-    for j, x in enumerate(xs):
-        v = x & mod_mask
-        for i in range(k):
-            out[j, i] = v & LIMB_MASK
-            v >>= LIMB_BITS
-    return out
+    buf = b"".join((x & mod_mask).to_bytes(nbytes, "little") for x in xs)
+    return np.frombuffer(buf, dtype=np.uint32).reshape(len(xs), k).copy()
 
 
 def limbs_to_int(a: np.ndarray) -> int:
@@ -53,14 +50,12 @@ def limbs_to_int(a: np.ndarray) -> int:
 
 
 def limbs_to_ints(a: np.ndarray) -> list:
-    """u32[n, k] -> list of n nonnegative ints."""
-    a = np.asarray(a, dtype=np.uint32)
-    out = [0] * a.shape[0]
-    for i in range(a.shape[1] - 1, -1, -1):
-        col = a[:, i]
-        for j in range(a.shape[0]):
-            out[j] = (out[j] << LIMB_BITS) | int(col[j])
-    return out
+    """u32[n, k] -> list of n nonnegative ints (int.from_bytes, C speed)."""
+    a = np.ascontiguousarray(np.asarray(a, dtype=np.uint32))
+    nbytes = 4 * a.shape[1]
+    buf = a.tobytes()
+    return [int.from_bytes(buf[i * nbytes:(i + 1) * nbytes], "little")
+            for i in range(a.shape[0])]
 
 
 def limbs_to_signed_ints(a: np.ndarray, nbits: int | None = None) -> list:

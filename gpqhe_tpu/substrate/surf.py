@@ -74,12 +74,18 @@ class Surf:
 
     def _refill(self, need: int) -> None:
         nblocks = max((need + 7) // 8, self.batch)
-        # counters for blocks counter+1 .. counter+nblocks (C increments first)
-        idx = self.counter + 1 + np.arange(nblocks, dtype=np.uint64)
-        ctr = np.empty((4, nblocks), dtype=np.uint32)
-        for i in range(4):
-            ctr[i] = ((idx >> np.uint64(32 * i)) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        new = _surf_batch(ctr, self.seed).reshape(-1)
+        new = None
+        from . import native
+        nat = native.surf_blocks(self.seed, self.counter, nblocks)
+        if nat is not None:
+            new = nat
+        else:
+            # counters for blocks counter+1 .. counter+nblocks (C increments first)
+            idx = self.counter + 1 + np.arange(nblocks, dtype=np.uint64)
+            ctr = np.empty((4, nblocks), dtype=np.uint32)
+            for i in range(4):
+                ctr[i] = ((idx >> np.uint64(32 * i)) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            new = _surf_batch(ctr, self.seed).reshape(-1)
         self.counter += nblocks
         rem = self._buf[self._pos:]
         self._buf = np.concatenate([rem, new]) if rem.size else new

@@ -2,6 +2,8 @@
 
 import hashlib
 
+import pytest
+
 import numpy as np
 import pytest
 
@@ -64,3 +66,18 @@ def test_bigint_roundtrip():
     assert bigint.limbs_to_int(one) == nn[0]
     d = bigint.digits16(nn[0], 26)
     assert sum(int(x) << (16 * i) for i, x in enumerate(d)) == nn[0] & ((1 << 416) - 1)
+
+
+def test_native_substrate_matches_numpy():
+    """The C substrate (built on demand) must be byte-identical to the numpy
+    oracle; skip cleanly when no compiler is available."""
+    from gpqhe_tpu.substrate import native as nat
+
+    if nat.get_lib() is None:
+        pytest.skip("no C compiler")
+    out = nat.surf_blocks(surf._SEED_DEFAULT, 0, 500)
+    s = surf.Surf()
+    assert bytes(out[:100]) == bytes(s.randombytes(100))
+    for msg in [b"", b"abc", b"q" * 300]:
+        assert nat.shake(168, 0x1F, msg, 64) == hashlib.shake_128(msg).digest(64)
+        assert nat.shake(136, 0x06, msg, 32) == hashlib.sha3_256(msg).digest()
