@@ -32,15 +32,53 @@ from ..substrate import bigint
 
 
 class RingEngine:
-    """Per-PolyContext device kernels with plan/jit caches."""
+    """Per-PolyContext device kernels with plan/jit caches.
 
-    def __init__(self, pctx: PolyContext):
+    ntt_impl selects the NTT backend: 'butterfly' (elementwise VPU stages,
+    ops/ntt.py) or 'matmul' (four-step MXU digit matmuls, ops/ntt4.py).
+    The two produce different (internally consistent) evaluation orders, so
+    all NTT-resident objects of one engine share one backend.
+    """
+
+    def __init__(self, pctx: PolyContext, ntt_impl: str = "butterfly"):
+        assert ntt_impl in ("butterfly", "matmul")
         self.pctx = pctx
+        self.ntt_impl = ntt_impl
         self._ba: dict[int, rns_ops.BasisArrays] = {}
         self._recon: dict[int, rns_ops.ReconPlan] = {}
         self._weights: dict[tuple[int, int], np.ndarray] = {}
         self._galois: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._ntt4: dict[int, object] = {}
         self._jit: dict = {}
+
+    def ntt4_plan(self, dim: int):
+        if dim not in self._ntt4:
+            from ..ops.ntt4 import make_ntt4_plan
+            self._ntt4[dim] = make_ntt4_plan(self.pctx, dim)
+        return self._ntt4[dim]
+
+    def prepare(self, dim: int) -> None:
+        """Eagerly materialize device plans for dim (must run OUTSIDE any jit
+        trace — device arrays created during tracing would leak as tracers)."""
+        self.ba(dim)
+        if self.ntt_impl == "matmul":
+            self.ntt4_plan(dim)
+
+    def ntt_f(self, res, dim: int):
+        """Forward NTT with the selected backend; res u64[..., dim, n]."""
+        if self.ntt_impl == "matmul":
+            from ..ops.ntt4 import ntt4
+            return ntt4(res, self.ntt4_plan(dim))
+        ba = self.ba(dim)
+        return ntt(res, ba.zetas, ba.ps, ba.pinv)
+
+    def ntt_i(self, res, dim: int):
+        """Inverse NTT with the selected backend."""
+        if self.ntt_impl == "matmul":
+            from ..ops.ntt4 import intt4
+            return intt4(res, self.ntt4_plan(dim))
+        ba = self.ba(dim)
+        return intt(res, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
 
     # -- plan caches --------------------------------------------------------
 
@@ -124,12 +162,13 @@ class RingEngine:
         key = ("fwd", dim, a.shape[-1], signed_bits)
 
         def build():
+            self.prepare(dim)
             ba = self.ba(dim)
 
             @jax.jit
             def f(x):
                 res = self.decompose(x, dim, signed_bits)
-                return ntt(res, ba.zetas, ba.ps, ba.pinv)
+                return self.ntt_f(res, dim)
             return f
         return self._cached(key, build)(a)
 
@@ -139,12 +178,13 @@ class RingEngine:
         key = ("invrec", dim, mask_to_bits, k_out, center)
 
         def build():
+            self.prepare(dim)
             ba = self.ba(dim)
             plan = self.recon(dim)
 
             @jax.jit
             def f(ch):
-                res = intt(ch, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
+                res = self.ntt_i(ch, dim)
                 c = rns_ops.reconstruct(res, ba, plan, center=center)
                 return lb.fit_signed(c, mask_to_bits, k_out)
             return f
@@ -171,16 +211,17 @@ class RingEngine:
                signed_a, signed_b)
 
         def build():
+            self.prepare(dim)
             ba = self.ba(dim)
             plan = self.recon(dim)
             r2 = jnp.array(self.pctx.basis(dim).r2)
 
             @jax.jit
             def f(x, y):
-                xh = ntt(self.decompose(x, dim, signed_a), ba.zetas, ba.ps, ba.pinv)
-                yh = ntt(self.decompose(y, dim, signed_b), ba.zetas, ba.ps, ba.pinv)
+                xh = self.ntt_f(self.decompose(x, dim, signed_a), dim)
+                yh = self.ntt_f(self.decompose(y, dim, signed_b), dim)
                 ch = mulmod(xh, yh, ba.ps[:, None], ba.pinv[:, None], r2[:, None])
-                res = intt(ch, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
+                res = self.ntt_i(ch, dim)
                 c = rns_ops.reconstruct(res, ba, plan, center=True)
                 return lb.fit_signed(c, mask_to_bits, k_out)
             return f

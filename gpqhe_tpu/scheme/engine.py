@@ -40,9 +40,10 @@ from .types import Ciphertext, Plaintext, PublicKey, SecretKey, SwitchKey
 class CKKS:
     """Scheme engine bound to one HeContext."""
 
-    def __init__(self, ctx: HeContext, rng: Surf | None = None):
+    def __init__(self, ctx: HeContext, rng: Surf | None = None,
+                 ntt_impl: str = "butterfly"):
         self.ctx = ctx
-        self.ring = RingEngine(ctx.poly)
+        self.ring = RingEngine(ctx.poly, ntt_impl=ntt_impl)
         self.rng = rng if rng is not None else default_rng()
         self._jit = {}
         # fixed widths
@@ -418,7 +419,7 @@ class CKKS:
         rk8 = self.rk8
 
         def half(uh):
-            res = intt(uh, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
+            res = self.ring.ntt_i(uh, dim)
             c = rns_ops.reconstruct(res, ba, plan, center=True)
             r = rns_ops.reconstruct(res[:ctx.dim], ba8, plan8, center=False)
             cm = lb.resize(c, kq)
@@ -441,6 +442,8 @@ class CKKS:
         key = ("he_mul", l)
 
         def build():
+            self.ring.prepare(dim_m)
+            self.ring.prepare(dim_s)
             bam = self.ring.ba(dim_m)
             planm = self.ring.recon(dim_m)
             r2m = jnp.array(ctx.poly.basis(dim_m).r2)
@@ -454,7 +457,7 @@ class CKKS:
             def f(c10, c11, c20, c21, ek0, ek1):
                 # cross terms over the dim_m basis (ref: src/he-mult.c:116-138)
                 def fwd(x):
-                    return ntt(rns_ops.decompose(x, bam, wm), bam.zetas, bam.ps, bam.pinv)
+                    return self.ring.ntt_f(rns_ops.decompose(x, bam, wm), dim_m)
                 x0, x1, y0, y1 = fwd(c10), fwd(c11), fwd(c20), fwd(c21)
                 pm = bam.ps[:, None]
                 pvm = bam.pinv[:, None]
@@ -464,12 +467,12 @@ class CKKS:
                              mulmod(x1, y0, pm, pvm, r2m[:, None]), pm)
 
                 def back(ch):
-                    res = intt(ch, bam.zetas_inv, bam.ps, bam.pinv, bam.ninv_mont)
+                    res = self.ring.ntt_i(ch, dim_m)
                     c = rns_ops.reconstruct(res, bam, planm, center=True)
                     return lb.resize(lb.mask_bits(c, qb), klv)
                 d0, d1, d2 = back(d0h), back(d1h), back(d2h)
                 # relinearize d2 with rlk over the dim_s basis (ref: he-mult.c:40-85)
-                d2hat = ntt(rns_ops.decompose(d2, bas, ws), bas.zetas, bas.ps, bas.pinv)
+                d2hat = self.ring.ntt_f(rns_ops.decompose(d2, bas, ws), dim_s)
                 ps = bas.ps[:, None]
                 pvs = bas.pinv[:, None]
                 u0h = mulmod(d2hat, ek0[:dim_s], ps, pvs, r2s[:, None])
@@ -503,6 +506,7 @@ class CKKS:
         key = ("he_mulpt", l, dim, pt.m.shape[-1])
 
         def build():
+            self.ring.prepare(dim)
             ba = self.ring.ba(dim)
             plan = self.ring.recon(dim)
             r2 = jnp.array(ctx.poly.basis(dim).r2)
@@ -511,16 +515,15 @@ class CKKS:
 
             @jax.jit
             def f(c0, c1, ptm):
-                pthat = ntt(self.ring._decompose_signed(ptm, dim, mod_bits),
-                            ba.zetas, ba.ps, ba.pinv)
+                pthat = self.ring.ntt_f(
+                    self.ring._decompose_signed(ptm, dim, mod_bits), dim)
                 p = ba.ps[:, None]
                 pv = ba.pinv[:, None]
 
                 def one(cx):
-                    ch = mulmod(ntt(rns_ops.decompose(cx, ba, wct),
-                                    ba.zetas, ba.ps, ba.pinv),
+                    ch = mulmod(self.ring.ntt_f(rns_ops.decompose(cx, ba, wct), dim),
                                 pthat, p, pv, r2[:, None])
-                    res = intt(ch, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
+                    res = self.ring.ntt_i(ch, dim)
                     c = rns_ops.reconstruct(res, ba, plan, center=True)
                     return lb.resize(lb.mask_bits(c, qb), klv)
                 return one(c0), one(c1)
@@ -581,6 +584,7 @@ class CKKS:
         key = ("swk", l, d0.shape)
 
         def build():
+            self.ring.prepare(dim_s)
             bas = self.ring.ba(dim_s)
             r2s = jnp.array(ctx.poly.basis(dim_s).r2)
             ws = self.ring.weights(dim_s, klv)
@@ -588,7 +592,7 @@ class CKKS:
 
             @jax.jit
             def f(dd0, dd1, ek0, ek1):
-                dhat = ntt(rns_ops.decompose(dd1, bas, ws), bas.zetas, bas.ps, bas.pinv)
+                dhat = self.ring.ntt_f(rns_ops.decompose(dd1, bas, ws), dim_s)
                 ps = bas.ps[:, None]
                 pvs = bas.pinv[:, None]
                 u0 = ks_half(mulmod(dhat, ek0[:dim_s], ps, pvs, r2s[:, None]))
