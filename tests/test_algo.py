@@ -142,6 +142,19 @@ def test_log(eng, keys):
     assert dist(got, np.log(m0)) < 1e-3
 
 
+def test_rlsin(eng, keys):
+    """sin(a*ct)/a via exp/conj (ref: tests/gpqhe.c test_rlsin:1156)."""
+    from gpqhe_tpu.bootstrap import rlsin
+
+    pk, sk, rlk, ck, _ = keys
+    s = eng.ctx.slots
+    m0 = (smp.sample_z01vec(eng.rng, s).real * 0.2).astype(np.complex128)
+    ct = eng.enc_pk(eng.ecd(m0), pk)
+    out = rlsin(eng, 2 * np.pi, ct, rlk, ck, iter=1)
+    got = eng.dcd(eng.dec(out, sk))
+    assert dist(got, np.sin(2 * np.pi * m0) / (2 * np.pi)) < 1e-3
+
+
 def test_cmp(eng, keys):
     """Comparison at reduced iterations (ref: tests/gpqhe.c test_cmp:1021)."""
     pk, sk, rlk, _, _ = keys

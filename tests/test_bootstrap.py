@@ -12,6 +12,8 @@ the ladder is deep (L=13) while compiles stay small.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # dozens of per-level compiles; see CLAUDE.md
+
 from gpqhe_tpu import bootstrap as bs
 from gpqhe_tpu.context import HeContext
 from gpqhe_tpu.ring import sample as smp
