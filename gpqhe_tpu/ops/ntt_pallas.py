@@ -1,32 +1,47 @@
 """Pallas TPU kernel: fused negacyclic NTT/INTT, all stages in VMEM.
 
-The jnp butterfly path (ops/ntt.py) materializes every stage through XLA's
-u64 emulation.  This kernel keeps one prime's full residue vector in VMEM as
-u32 (lo, hi) planes and runs all logn stages in-register/VMEM, with the
-Montgomery arithmetic written directly in u32 (16-bit partial products), so
-no generic 64-bit emulation is involved.
+The jnp butterfly path (ops/ntt.py) round-trips HBM through XLA's u64
+emulation every stage.  This kernel keeps one prime's residue vector in VMEM
+as u32 (lo, hi) planes for all logn stages, with Montgomery arithmetic
+written directly in u32 16-bit partial products.
 
-Layout: residues u64[dim, n] are bitcast to lo/hi u32[dim, n] outside the
-kernel; grid = (dim,); each program transforms one prime's vector.
-Zetas enter as the same (lo, hi) u32 split; p and pinv as u32 pairs in SMEM.
+Mosaic-friendly data movement (no 1D reshapes — only leading-axis reshapes,
+row slices and one transpose pair, all verified supported):
+
+  view the vector as M[R, 128] (row-major, i = r*128 + c)
+  - stages with len >= 128: butterflies pair ROWS (distance len/128);
+    per-block zetas come from the first R entries of the standard bit-rev
+    table, lane-replicated host-side.
+  - stages with len < 128: operate on M^T [128, R]; pairs become row pairs
+    again; per-stage zeta PLANES Z[g, r] = zetas[n/(2len) + r*128/(2len) + g]
+    are precomputed host-side (127 rows total, padded to 128).
+
+Twiddles/butterfly order match ops/ntt.py exactly (ref: src/ntt.c:37-73), so
+this backend is interchangeable with 'butterfly' on the same NTT-resident
+data.  Requires n >= 1024.
 """
 
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# plain python scalars: jnp constants would be captured as kernel consts
+_C = 128        # lane width
 _M16 = 0xFFFF
 _16 = 16
 
 
+# ---------------------------------------------------------------------------
+# u32-pair arithmetic
+# ---------------------------------------------------------------------------
+
 def _mulhilo32(a, b):
-    """Full 64-bit product of u32 a, b as (hi, lo) u32 — 16-bit partials."""
     al = a & _M16
     ah = a >> _16
     bl = b & _M16
@@ -54,159 +69,263 @@ def _sub64(alo, ahi, blo, bhi):
 
 
 def _mul64_lo(alo, ahi, blo, bhi):
-    """Low 64 bits of (a*b) as (lo, hi) u32."""
     h0, l0 = _mulhilo32(alo, blo)
-    lo = l0
-    hi = h0 + alo * bhi + ahi * blo
-    return lo, hi
+    return l0, h0 + alo * bhi + ahi * blo
 
 
 def _mul64_hi(alo, ahi, blo, bhi):
-    """High 64 bits of the 128-bit product a*b, as (lo, hi) u32."""
-    # partial products: a = ah*2^32+al, b = bh*2^32+bl
-    h_ll, l_ll = _mulhilo32(alo, blo)          # al*bl
-    h_lh, l_lh = _mulhilo32(alo, bhi)          # al*bh  (<<32)
-    h_hl, l_hl = _mulhilo32(ahi, blo)          # ah*bl  (<<32)
-    h_hh, l_hh = _mulhilo32(ahi, bhi)          # ah*bh  (<<64)
-    # carry of bits 32..63: h_ll + l_lh + l_hl
+    h_ll, _ = _mulhilo32(alo, blo)
+    h_lh, l_lh = _mulhilo32(alo, bhi)
+    h_hl, l_hl = _mulhilo32(ahi, blo)
+    h_hh, l_hh = _mulhilo32(ahi, bhi)
     c_lo = h_ll + l_lh
     c1 = (c_lo < l_lh).astype(jnp.uint32)
     c_lo2 = c_lo + l_hl
     c2 = (c_lo2 < l_hl).astype(jnp.uint32)
     carry32 = c1 + c2
-    # bits 64..95: l_hh + h_lh + h_hl + carry32
     r_lo = l_hh + h_lh
     d1 = (r_lo < h_lh).astype(jnp.uint32)
     r_lo2 = r_lo + h_hl
     d2 = (r_lo2 < h_hl).astype(jnp.uint32)
     r_lo3 = r_lo2 + carry32
     d3 = (r_lo3 < carry32).astype(jnp.uint32)
-    r_hi = h_hh + d1 + d2 + d3
-    return r_lo3, r_hi
+    return r_lo3, h_hh + d1 + d2 + d3
 
 
-def _mont_mul_u32(alo, ahi, blo, bhi, plo, phi, vlo, vhi):
-    """Montgomery a*b*R^-1 mod p, R=2^64, all as u32 pairs (ref semantics:
-    src/reduce.c:59-66).  Requires a*b < R*p."""
-    m_lo, m_hi = _mul64_lo(alo, ahi, blo, bhi)          # ab mod 2^64
-    t_lo, t_hi = _mul64_hi(alo, ahi, blo, bhi)          # ab >> 64
-    u_lo, u_hi = _mul64_lo(m_lo, m_hi, vlo, vhi)        # u = m*pinv mod 2^64
-    s_lo, s_hi = _mul64_hi(u_lo, u_hi, plo, phi)        # hi64(u*p)
-    # r = t - s (+p on borrow)
+def _mont_mul(alo, ahi, blo, bhi, plo, phi, vlo, vhi):
+    """Montgomery a*b*R^-1 mod p, R=2^64 (ref: src/reduce.c:59-66)."""
+    m_lo, m_hi = _mul64_lo(alo, ahi, blo, bhi)
+    t_lo, t_hi = _mul64_hi(alo, ahi, blo, bhi)
+    u_lo, u_hi = _mul64_lo(m_lo, m_hi, vlo, vhi)
+    s_lo, s_hi = _mul64_hi(u_lo, u_hi, plo, phi)
     borrow = (t_hi < s_hi) | ((t_hi == s_hi) & (t_lo < s_lo))
     r_lo, r_hi = _sub64(t_lo, t_hi, s_lo, s_hi)
     a_lo, a_hi = _add64(r_lo, r_hi, plo, phi)
     return (jnp.where(borrow, a_lo, r_lo), jnp.where(borrow, a_hi, r_hi))
 
 
-def _addmod_u32(alo, ahi, blo, bhi, plo, phi):
+def _addmod(alo, ahi, blo, bhi, plo, phi):
     s_lo, s_hi = _add64(alo, ahi, blo, bhi)
     ge = (s_hi > phi) | ((s_hi == phi) & (s_lo >= plo))
     d_lo, d_hi = _sub64(s_lo, s_hi, plo, phi)
     return jnp.where(ge, d_lo, s_lo), jnp.where(ge, d_hi, s_hi)
 
 
-def _submod_u32(alo, ahi, blo, bhi, plo, phi):
+def _submod(alo, ahi, blo, bhi, plo, phi):
     lt = (ahi < bhi) | ((ahi == bhi) & (alo < blo))
     d_lo, d_hi = _sub64(alo, ahi, blo, bhi)
     a_lo, a_hi = _add64(d_lo, d_hi, plo, phi)
     return jnp.where(lt, a_lo, d_lo), jnp.where(lt, a_hi, d_hi)
 
 
-def _ntt_kernel(n: int, inverse: bool,
-                scal_ref, a_ref, z_ref, out_ref):
-    """One prime's NTT.  scal: u32[4] = (p_lo, p_hi, pinv_lo, pinv_hi) SMEM;
-    a/z/out: u32[2, n] VMEM (plane 0 = lo, 1 = hi)."""
-    plo = scal_ref[0]
-    phi = scal_ref[1]
-    vlo = scal_ref[2]
-    vhi = scal_ref[3]
-    alo = a_ref[0, :]
-    ahi = a_ref[1, :]
-    ln = n.bit_length() - 1
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
 
+def _big_stages(alo, ahi, zb_lo, zb_hi, plo, phi, vlo, vhi, R, inverse):
+    """Stages with len >= 128 on M[R, C].  Forward: len descending from n/2
+    to 128; inverse: ascending 128..n/2 (GS)."""
+    Ls = []
+    L = R // 2
+    while L >= 1:
+        Ls.append(L)
+        L //= 2
+    if inverse:
+        Ls = Ls[::-1]
+    for L in Ls:
+        nb = R // (2 * L)
+        x0l = alo.reshape(nb, 2 * L, _C)[:, :L, :]
+        x0h = ahi.reshape(nb, 2 * L, _C)[:, :L, :]
+        x1l = alo.reshape(nb, 2 * L, _C)[:, L:, :]
+        x1h = ahi.reshape(nb, 2 * L, _C)[:, L:, :]
+        zl = zb_lo[nb:2 * nb, :].reshape(nb, 1, _C)
+        zh = zb_hi[nb:2 * nb, :].reshape(nb, 1, _C)
+        if not inverse:
+            tl, th = _mont_mul(x1l, x1h, zl, zh, plo, phi, vlo, vhi)
+            y0l, y0h = _addmod(x0l, x0h, tl, th, plo, phi)
+            y1l, y1h = _submod(x0l, x0h, tl, th, plo, phi)
+        else:
+            y0l, y0h = _addmod(x0l, x0h, x1l, x1h, plo, phi)
+            dl, dh = _submod(x0l, x0h, x1l, x1h, plo, phi)
+            y1l, y1h = _mont_mul(dl, dh, zl, zh, plo, phi, vlo, vhi)
+        alo = jnp.concatenate([y0l, y1l], axis=1).reshape(R, _C)
+        ahi = jnp.concatenate([y0h, y1h], axis=1).reshape(R, _C)
+    return alo, ahi
+
+
+def _tail_stages(tlo, thi, zt_lo, zt_hi, plo, phi, vlo, vhi, R, inverse):
+    """Stages with len < 128 on M^T [C, R].  Forward: len descending 64..1;
+    inverse: ascending 1..64.  zt rows are laid out in the same order."""
+    lens = [64, 32, 16, 8, 4, 2, 1]
+    if inverse:
+        lens = lens[::-1]
+    off = 0
+    for ln in lens:
+        gpr = _C // (2 * ln)
+        x0l = tlo.reshape(gpr, 2 * ln, R)[:, :ln, :]
+        x0h = thi.reshape(gpr, 2 * ln, R)[:, :ln, :]
+        x1l = tlo.reshape(gpr, 2 * ln, R)[:, ln:, :]
+        x1h = thi.reshape(gpr, 2 * ln, R)[:, ln:, :]
+        zl = zt_lo[off:off + gpr, :].reshape(gpr, 1, R)
+        zh = zt_hi[off:off + gpr, :].reshape(gpr, 1, R)
+        if not inverse:
+            tl, th = _mont_mul(x1l, x1h, zl, zh, plo, phi, vlo, vhi)
+            y0l, y0h = _addmod(x0l, x0h, tl, th, plo, phi)
+            y1l, y1h = _submod(x0l, x0h, tl, th, plo, phi)
+        else:
+            y0l, y0h = _addmod(x0l, x0h, x1l, x1h, plo, phi)
+            dl, dh = _submod(x0l, x0h, x1l, x1h, plo, phi)
+            y1l, y1h = _mont_mul(dl, dh, zl, zh, plo, phi, vlo, vhi)
+        tlo = jnp.concatenate([y0l, y1l], axis=1).reshape(_C, R)
+        thi = jnp.concatenate([y0h, y1h], axis=1).reshape(_C, R)
+        off += gpr
+    return tlo, thi
+
+
+def _ntt_kernel(R: int, inverse: bool,
+                a_ref, zbig_ref, ztail_ref, scc_ref, scr_ref, out_ref):
+    """Grid-free single-prime kernel (the remote Mosaic helper rejects any
+    gridded pallas_call — see CLAUDE.md).  Scalars arrive lane-replicated:
+    scc [2, 8, C] rows = (p, pinv, ninv) for the normal domain, scr [2, 8, R]
+    for the transposed domain."""
+    plo_c = scc_ref[0, 0:1, :]
+    phi_c = scc_ref[1, 0:1, :]
+    vlo_c = scc_ref[0, 1:2, :]
+    vhi_c = scc_ref[1, 1:2, :]
+    nlo_c = scc_ref[0, 2:3, :]
+    nhi_c = scc_ref[1, 2:3, :]
+    plo_r = scr_ref[0, 0:1, :]
+    phi_r = scr_ref[1, 0:1, :]
+    vlo_r = scr_ref[0, 1:2, :]
+    vhi_r = scr_ref[1, 1:2, :]
+    alo = a_ref[0]
+    ahi = a_ref[1]
     if not inverse:
-        length = n // 2
-        while length >= 1:
-            nblocks = n // (2 * length)
-            x0l = alo.reshape(nblocks, 2, length)[:, 0, :]
-            x0h = ahi.reshape(nblocks, 2, length)[:, 0, :]
-            x1l = alo.reshape(nblocks, 2, length)[:, 1, :]
-            x1h = ahi.reshape(nblocks, 2, length)[:, 1, :]
-            zl = z_ref[0, pl.ds(nblocks, nblocks)].reshape(nblocks, 1)
-            zh = z_ref[1, pl.ds(nblocks, nblocks)].reshape(nblocks, 1)
-            tl, th = _mont_mul_u32(x1l, x1h, zl, zh, plo, phi, vlo, vhi)
-            y0l, y0h = _addmod_u32(x0l, x0h, tl, th, plo, phi)
-            y1l, y1h = _submod_u32(x0l, x0h, tl, th, plo, phi)
-            alo = jnp.stack([y0l, y1l], axis=1).reshape(n)
-            ahi = jnp.stack([y0h, y1h], axis=1).reshape(n)
-            length //= 2
+        alo, ahi = _big_stages(alo, ahi, zbig_ref[0], zbig_ref[1],
+                               plo_c, phi_c, vlo_c, vhi_c, R, False)
+        tlo, thi = alo.T, ahi.T
+        tlo, thi = _tail_stages(tlo, thi, ztail_ref[0], ztail_ref[1],
+                                plo_r, phi_r, vlo_r, vhi_r, R, False)
+        alo, ahi = tlo.T, thi.T
     else:
-        length = 1
-        while length <= n // 2:
-            nblocks = n // (2 * length)
-            x0l = alo.reshape(nblocks, 2, length)[:, 0, :]
-            x0h = ahi.reshape(nblocks, 2, length)[:, 0, :]
-            x1l = alo.reshape(nblocks, 2, length)[:, 1, :]
-            x1h = ahi.reshape(nblocks, 2, length)[:, 1, :]
-            zl = z_ref[0, pl.ds(nblocks, nblocks)].reshape(nblocks, 1)
-            zh = z_ref[1, pl.ds(nblocks, nblocks)].reshape(nblocks, 1)
-            y0l, y0h = _addmod_u32(x0l, x0h, x1l, x1h, plo, phi)
-            dl, dh = _submod_u32(x0l, x0h, x1l, x1h, plo, phi)
-            y1l, y1h = _mont_mul_u32(dl, dh, zl, zh, plo, phi, vlo, vhi)
-            alo = jnp.stack([y0l, y1l], axis=1).reshape(n)
-            ahi = jnp.stack([y0h, y1h], axis=1).reshape(n)
-            length *= 2
-        # final n^-1 scaling: ninv stored at z_ref[:, 0]
-        nl = z_ref[0, 0]
-        nh = z_ref[1, 0]
-        alo, ahi = _mont_mul_u32(alo, ahi, nl, nh, plo, phi, vlo, vhi)
-    del ln
-    out_ref[0, :] = alo
-    out_ref[1, :] = ahi
+        tlo, thi = a_ref[0].T, a_ref[1].T
+        tlo, thi = _tail_stages(tlo, thi, ztail_ref[0], ztail_ref[1],
+                                plo_r, phi_r, vlo_r, vhi_r, R, True)
+        alo, ahi = tlo.T, thi.T
+        alo, ahi = _big_stages(alo, ahi, zbig_ref[0], zbig_ref[1],
+                               plo_c, phi_c, vlo_c, vhi_c, R, True)
+        alo, ahi = _mont_mul(alo, ahi, nlo_c, nhi_c, plo_c, phi_c, vlo_c, vhi_c)
+    out_ref[0] = alo
+    out_ref[1] = ahi
 
 
-def _split_u64(x):
-    return jnp.stack([(x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
-                      (x >> jnp.uint64(32)).astype(jnp.uint32)], axis=-2)
+# ---------------------------------------------------------------------------
+# host-side plan + wrapper
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PallasNttPlan:
+    dim: int
+    n: int
+    scc: jnp.ndarray        # u32[dim, 2, 8, C]: p/pinv/ninv lane-replicated
+    scr: jnp.ndarray        # u32[dim, 2, 8, R]
+    zbig_f: jnp.ndarray     # u32[dim, 2, R, C]
+    ztail_f: jnp.ndarray    # u32[dim, 2, 128, R]
+    zbig_i: jnp.ndarray
+    ztail_i: jnp.ndarray
 
 
-def _join_u64(x):
-    return x[..., 0, :].astype(jnp.uint64) | (x[..., 1, :].astype(jnp.uint64) << jnp.uint64(32))
+def _lane_rep_big(z: np.ndarray, R: int) -> np.ndarray:
+    """First R entries of the zeta table, lane-replicated: [2, R, C] u32."""
+    zr = z[:R]
+    lo = (zr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (zr >> np.uint64(32)).astype(np.uint32)
+    return np.stack([np.repeat(lo[:, None], _C, axis=1),
+                     np.repeat(hi[:, None], _C, axis=1)])
 
 
-@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
-def ntt_pallas(a, zetas, ps, pinv, ninv_mont=None, inverse: bool = False,
+def _tail_planes(z: np.ndarray, n: int, R: int, inverse: bool) -> np.ndarray:
+    """[2, 128, R] u32: per-stage zeta planes Z[g, r] = z[nb + r*gpr + g],
+    stage rows concatenated in execution order."""
+    lens = [64, 32, 16, 8, 4, 2, 1]
+    if inverse:
+        lens = lens[::-1]
+    rows_lo, rows_hi = [], []
+    r_idx = np.arange(R)
+    for ln in lens:
+        gpr = _C // (2 * ln)
+        nb = n // (2 * ln)
+        for g in range(gpr):
+            vals = z[nb + r_idx * gpr + g]
+            rows_lo.append((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+            rows_hi.append((vals >> np.uint64(32)).astype(np.uint32))
+    rows_lo.append(np.zeros(R, dtype=np.uint32))
+    rows_hi.append(np.zeros(R, dtype=np.uint32))
+    return np.stack([np.stack(rows_lo), np.stack(rows_hi)])
+
+
+def _scal_rows(p: int, pinv: int, ninv: int, width: int) -> np.ndarray:
+    """[2, 8, width] lane-replicated scalar rows (p, pinv, ninv)."""
+    out = np.zeros((2, 8, width), dtype=np.uint32)
+    for row, val in enumerate((p, pinv, ninv)):
+        out[0, row, :] = val & 0xFFFFFFFF
+        out[1, row, :] = val >> 32
+    return out
+
+
+def make_pallas_plan(pctx, dim: int) -> PallasNttPlan:
+    n = pctx.n
+    assert n >= 1024, "pallas NTT backend needs n >= 1024"
+    R = n // _C
+    scc, scr, zbf, ztf, zbi, zti = [], [], [], [], [], []
+    for d in range(dim):
+        pc = pctx.prime_ctx[d]
+        scc.append(_scal_rows(pc.p, pc.pinv_mont, pc.ninv_mont, _C))
+        scr.append(_scal_rows(pc.p, pc.pinv_mont, pc.ninv_mont, R))
+        zbf.append(_lane_rep_big(pc.zetas, R))
+        ztf.append(_tail_planes(pc.zetas, n, R, False))
+        zbi.append(_lane_rep_big(pc.zetas_inv, R))
+        zti.append(_tail_planes(pc.zetas_inv, n, R, True))
+    return PallasNttPlan(
+        dim=dim, n=n,
+        scc=jnp.asarray(np.stack(scc)), scr=jnp.asarray(np.stack(scr)),
+        zbig_f=jnp.asarray(np.stack(zbf)), ztail_f=jnp.asarray(np.stack(ztf)),
+        zbig_i=jnp.asarray(np.stack(zbi)), ztail_i=jnp.asarray(np.stack(zti)),
+    )
+
+
+def _split(a, R):
+    lo = (a & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (a >> jnp.uint64(32)).astype(jnp.uint32)
+    return jnp.stack([lo, hi], axis=-2).reshape(a.shape[:-1] + (2, R, _C))
+
+
+def _join(x, n):
+    flat = x.reshape(x.shape[:-3] + (2, n))
+    return flat[..., 0, :].astype(jnp.uint64) | \
+        (flat[..., 1, :].astype(jnp.uint64) << jnp.uint64(32))
+
+
+def ntt_pallas(a, plan: PallasNttPlan, inverse: bool = False,
                interpret: bool = False):
-    """Batched NTT via the Pallas kernel.
-
-    a: u64[dim, n]; zetas u64[dim, n] (for inverse, slot 0 must hold
-    ninv_mont — pass ninv_mont to have it patched in); ps/pinv u64[dim].
-    """
+    """u64[dim, n] -> u64[dim, n].  One grid-free pallas call per prime
+    (identical kernels — XLA dedups the compilations); compose under jit."""
     dim, n = a.shape
-    if inverse and ninv_mont is not None:
-        zetas = zetas.at[:, 0].set(ninv_mont)
-    a32 = _split_u64(a)                     # [dim, 2, n]
-    z32 = _split_u64(zetas)
-    scal = jnp.stack([
-        (ps & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
-        (ps >> jnp.uint64(32)).astype(jnp.uint32),
-        (pinv & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
-        (pinv >> jnp.uint64(32)).astype(jnp.uint32),
-    ], axis=-1)                              # [dim, 4]
-
-    kernel = functools.partial(_ntt_kernel, n, inverse)
-    out = pl.pallas_call(
+    R = n // _C
+    a32 = _split(a, R)                                  # [dim, 2, R, C]
+    zbig = plan.zbig_i if inverse else plan.zbig_f
+    ztail = plan.ztail_i if inverse else plan.ztail_f
+    kernel = functools.partial(_ntt_kernel, R, inverse)
+    call = pl.pallas_call(
         kernel,
-        grid=(dim,),
-        in_specs=[
-            pl.BlockSpec((None, 4), lambda d: (d, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 2, n), lambda d: (d, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 2, n), lambda d: (d, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, 2, n), lambda d: (d, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((dim, 2, n), jnp.uint32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, R, _C), jnp.uint32),
         interpret=interpret,
-    )(scal, a32, z32)
-    return _join_u64(out)
+    )
+
+    # one call site via lax.map -> a single Mosaic compilation for all primes
+    def body(args):
+        return call(*args)
+    out = jax.lax.map(body, (a32, zbig, ztail, plan.scc, plan.scr))
+    return _join(out, n)
