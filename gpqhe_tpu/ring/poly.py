@@ -17,8 +17,6 @@ magnitudes — see dim_* in context.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,7 +39,7 @@ class RingEngine:
     """
 
     def __init__(self, pctx: PolyContext, ntt_impl: str = "butterfly"):
-        assert ntt_impl in ("butterfly", "matmul")
+        assert ntt_impl in ("butterfly", "matmul", "pallas")
         self.pctx = pctx
         self.ntt_impl = ntt_impl
         self._ba: dict[int, rns_ops.BasisArrays] = {}
@@ -49,6 +47,7 @@ class RingEngine:
         self._weights: dict[tuple[int, int], np.ndarray] = {}
         self._galois: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._ntt4: dict[int, object] = {}
+        self._pallas: dict[int, object] = {}
         self._jit: dict = {}
 
     def ntt4_plan(self, dim: int):
@@ -57,23 +56,39 @@ class RingEngine:
             self._ntt4[dim] = make_ntt4_plan(self.pctx, dim)
         return self._ntt4[dim]
 
+    def pallas_plan(self, dim: int):
+        if dim not in self._pallas:
+            from ..ops.ntt_pallas import make_pallas_plan
+            self._pallas[dim] = make_pallas_plan(self.pctx, dim)
+        return self._pallas[dim]
+
     def prepare(self, dim: int) -> None:
         """Eagerly materialize device plans for dim (must run OUTSIDE any jit
         trace — device arrays created during tracing would leak as tracers)."""
         self.ba(dim)
         if self.ntt_impl == "matmul":
             self.ntt4_plan(dim)
+        if self.ntt_impl == "pallas" and self.pctx.n >= 1024:
+            self.pallas_plan(dim)
 
     def ntt_f(self, res, dim: int):
         """Forward NTT with the selected backend; res u64[..., dim, n]."""
         if self.ntt_impl == "matmul":
             from ..ops.ntt4 import ntt4
             return ntt4(res, self.ntt4_plan(dim))
+        if self.ntt_impl == "pallas" and self.pctx.n >= 1024 and res.ndim == 2:
+            from ..ops.ntt_pallas import ntt_pallas
+            return ntt_pallas(res, self.pallas_plan(dim))
         ba = self.ba(dim)
         return ntt(res, ba.zetas, ba.ps, ba.pinv)
 
     def ntt_i(self, res, dim: int):
-        """Inverse NTT with the selected backend."""
+        """Inverse NTT with the selected backend.
+
+        'pallas' currently pairs the Pallas forward with the butterfly
+        inverse: the two produce IDENTICAL evaluation orderings (verified
+        elementwise on TPU), and the inverse Pallas kernel still trips the
+        remote Mosaic helper (see CLAUDE.md)."""
         if self.ntt_impl == "matmul":
             from ..ops.ntt4 import intt4
             return intt4(res, self.ntt4_plan(dim))

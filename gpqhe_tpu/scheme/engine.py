@@ -28,7 +28,6 @@ from ..context import HeContext
 from ..ops import limbs as lb
 from ..ops import rns as rns_ops
 from ..ops.modmath import addmod, mulmod
-from ..ops.ntt import intt, ntt
 from ..ring import sample
 from ..ring.canemb import canemb, invcanemb
 from ..ring.poly import RingEngine

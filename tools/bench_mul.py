@@ -26,6 +26,7 @@ def log(*a):
 def main():
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     logq = int(sys.argv[2]) if len(sys.argv) > 2 else 438
+    impl = sys.argv[3] if len(sys.argv) > 3 else "butterfly"
     t0 = time.time()
     from gpqhe_tpu.context import HeContext
     from gpqhe_tpu.ring import sample as smp
@@ -34,8 +35,8 @@ def main():
     from gpqhe_tpu.utils.pmu import time_jitted
 
     ctx = HeContext(logn=logn, q=1 << logq, slots=16, Delta=1 << 50)
-    eng = CKKS(ctx, rng=Surf())
-    log(f"[{time.time()-t0:.0f}s] ctx logn={logn} logq={logq} "
+    eng = CKKS(ctx, rng=Surf(), ntt_impl=impl)
+    log(f"[{time.time()-t0:.0f}s] ntt_impl={impl} ctx logn={logn} logq={logq} "
         f"dim_mul={ctx.dim_mul(ctx.L)} dim_swk={ctx.dim_swk(ctx.L)} "
         f"on {jax.devices()[0]}")
     pk, sk = eng.keypair()
