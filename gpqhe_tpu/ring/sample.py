@@ -60,14 +60,19 @@ def load_nbits_le(buf: np.ndarray, nbits: int) -> int:
 
 
 def sample_hwt(rng: Surf, n: int) -> np.ndarray:
-    """Exactly-BLKSIZ-nonzero ternary vector (ref: src/sample.c:84-100).
+    """Exactly-h-nonzero ternary vector, h = min(BLKSIZ, n/2)
+    (ref: src/sample.c:84-100, which hardcodes h=64 and therefore never
+    terminates for n < 64 — the reference never runs logn < 10; tiny test
+    rings here cap h at n/2).
 
-    Sequential by construction: byte consumption depends on index collisions."""
+    Sequential by construction: byte consumption depends on index collisions;
+    identical to the reference stream for n >= 128."""
+    h = min(params.BLKSIZ, n // 2)
     vec = np.zeros(n, dtype=np.int64)
     num = load_nbits_le(rng.randombytes(8), 64)
     logm = n.bit_length() - 1
     idx = 0
-    while idx < params.BLKSIZ:
+    while idx < h:
         buf = rng.randombytes(8)
         i = load_nbits_le(buf, logm)
         if vec[i] == 0:
