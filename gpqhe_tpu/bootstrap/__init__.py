@@ -26,22 +26,29 @@ import jax.numpy as jnp
 
 
 class BootstrapContext:
-    """U-matrix bank (ref: src/he-bootstrap.c:299-342) + gemv plans."""
+    """U-matrix bank + gemv plans.
+
+    The reference builds U0[i,k] = zeta_{cyc[i*gap]}^{k*gap}
+    (ref: src/he-bootstrap.c:299-342), which is only a valid DFT at FULL
+    packing (slots = n/2); for sparse packing every row collapses to the
+    same value (5^(4j) == 1 mod 16) and c2s degenerates — another untested
+    corner of the reference.  The faithful generalization (verified exact,
+    and equal to the reference's matrices at full packing):
+
+        m' = 4*slots,  omega = e^(2 pi i / m'),  e_i = 5^i mod m'
+        U0[i,k] = omega^(e_i k),   U1 = i * U0
+        decode:  z = U0 (t0 + i t1)
+        invert:  t0 = (U0^H z + U0^T conj(z)) / (2 slots),  same with U1
+    """
 
     def __init__(self, eng: CKKS):
         ctx = eng.ctx
         slots = ctx.slots
-        n, nh, m = ctx.poly.n, ctx.poly.n // 2, ctx.poly.m
-        gap = nh // slots
-        cyc = ctx.poly.cyc_group
-        U0 = np.empty((slots, slots), dtype=np.complex128)
-        U1 = np.empty((slots, slots), dtype=np.complex128)
-        j = np.arange(slots)
-        for i in range(slots):
-            theta = 2 * params.PI * int(cyc[i * gap]) / m
-            zeta = np.cos(theta) + 1j * np.sin(theta)
-            U0[i] = zeta ** (j * gap)
-            U1[i] = zeta ** (j * gap + nh)
+        mp = 4 * slots
+        om = np.exp(2j * params.PI / mp)
+        U0 = np.array([[om ** ((pow(5, i, mp)) * k) for k in range(slots)]
+                       for i in range(slots)], dtype=np.complex128)
+        U1 = 1j * U0
         self.U0 = U0.reshape(-1)
         self.U1 = U1.reshape(-1)
         self.U0_T = U0.T.reshape(-1)
@@ -71,10 +78,13 @@ def raised_delta(eng: CKKS, new_delta: float):
         eng.ctx.Delta = old
 
 
-def raise_modulus(eng: CKKS, ct: Ciphertext) -> Ciphertext:
+def raise_modulus(eng: CKKS, ct: Ciphertext, nu: float | None = None) -> Ciphertext:
     """Reinterpret ct mod q_l as mod q_L: center the value mod q_l, then
     sign-extend into the top-level width (ref: src/he-bootstrap.c:513-516 —
-    trivial there because coefficients are centered MPIs)."""
+    trivial there because coefficients are centered MPIs).
+
+    The raised ciphertext decrypts to t = m*Delta + e + q_l*I with
+    |I| <~ h/2 + 1 (hwt secret)."""
     ctx = eng.ctx
     logql = ctx.q[ct.l].bit_length() - 1
     kq = eng.kq
@@ -87,15 +97,17 @@ def raise_modulus(eng: CKKS, ct: Ciphertext) -> Ciphertext:
         wrapped = lb.sub(mbits, jnp.broadcast_to(ql_limbs, mbits.shape))
         return lb.mask_bits(lb.select(negmask, wrapped, mbits),
                             ctx.q[ctx.L].bit_length())
-    return Ciphertext(l=ctx.L, nu=float(ctx.q[ctx.L]), B=ct.B,
+    return Ciphertext(l=ctx.L,
+                      nu=float(ctx.q[ctx.L]) if nu is None else nu, B=ct.B,
                       c0=fix(ct.c0), c1=fix(ct.c1))
 
 
 def coeff2slot(eng: CKKS, bctx: BootstrapContext, ct: Ciphertext,
                ck: SwitchKey, rk: dict[int, SwitchKey]) -> tuple[Ciphertext, Ciphertext]:
-    """ct_real/imag = (U^dag ct +- U^T conj(ct)) / n (ref: src/he-bootstrap.c:358-408)."""
-    n = eng.ctx.poly.n
-    pt = eng.const_pt(1.0 / n)  # reference writes integer 1/n == 0 here (bug)
+    """ct_real/imag = (U^dag ct +- U^T conj(ct)) / (2 slots)
+    (ref: src/he-bootstrap.c:358-408 — which writes integer 1/n == 0, a bug,
+    and uses 1/n where the sparse-packing normalizer is 1/(2 slots))."""
+    pt = eng.const_pt(1.0 / (2 * eng.ctx.slots))
     ct_conj = eng.conj(ct.copy(), ck)
     ct0 = gemv(eng, None, ct, rk, plan=bctx.plan("U0_conjT"))
     ct1 = gemv(eng, None, ct_conj, rk, plan=bctx.plan("U0_T"))
@@ -126,19 +138,63 @@ def rlsin(eng: CKKS, a: float, ct: Ciphertext, rlk: SwitchKey, ck: SwitchKey,
     return eng.rs(eng.mulpt(out, pt))
 
 
+def _exp_small_a(eng: CKKS, a: complex, ct: Ciphertext, rlk: SwitchKey,
+                 iter: int) -> Ciphertext:
+    """exp(a*mu) for |a| << 1/Delta: the constant a/2^iter is encoded at
+    scale Delta^2 (it would round to 0 at Delta) and two rescales restore
+    the running scale.  Mirrors he_exp otherwise (ref: src/he-algo.c:435-458)."""
+    ctx = eng.ctx
+    slots = ctx.slots
+    av = complex(a) / (1 << iter)
+    pt = eng.ecd(np.full(slots, av, dtype=np.complex128), nu=ctx.Delta ** 2)
+    act = eng.rs(eng.rs(eng.mulpt(ct, pt)))
+    from ..algo.nonlinear import _he_exp_taylor
+    out = _he_exp_taylor(eng, act, rlk)
+    for _ in range(iter):
+        out = eng.rs(eng.mul(out, out, rlk))
+    return out
+
+
 def bootstrap(eng: CKKS, bctx: BootstrapContext, ct: Ciphertext,
               rlk: SwitchKey, ck: SwitchKey, rk: dict[int, SwitchKey],
               iter: int) -> Ciphertext:
-    """Full pipeline: raise -> c2s -> rlsin(2pi) -> s2c -> rs
-    (ref: src/he-bootstrap.c:477-546)."""
+    """Full pipeline: raise -> c2s -> mod-reduction-by-sin -> s2c -> rs.
+
+    Scale plan (DIVERGES from the reference, whose raise-Delta-to-qL flow
+    overflows the ciphertext modulus with any nonzero message and is
+    untested there, ref: src/he-bootstrap.c:477-546 + stub test at
+    tests/gpqhe.c:1259-1275):
+
+      - everything runs at the ordinary scale Delta; c2s puts the raw
+        coefficients t_j = m_j*Delta + e + q_src*I_j into slots;
+      - the mod-q_src reduction evaluates (q_src/2pi) sin(2pi t / q_src)
+        via exp, with the tiny constant 2pi/(q_src 2^iter) encoded at
+        Delta^2 (see _exp_small_a) and the huge constant q_src/(4pi i)
+        encoded at Delta with norm-based dimension sizing;
+      - needs |2pi t / q_src| / 2^iter <~ 0.5, i.e. 2^iter >~ 4pi(h/2+1);
+      - consumes 10 + iter levels.
+    """
     ctx = eng.ctx
-    ct = raise_modulus(eng, ct)
-    with raised_delta(eng, float(ctx.q[ctx.L])):
-        ct0, ct1 = coeff2slot(eng, bctx, ct, ck, rk)
-        a = 2 * params.PI
-        ct0 = rlsin(eng, a, ct0, rlk, ck, iter)
-        ct1 = rlsin(eng, a, ct1, rlk, ck, iter)
-        ct = slot2coeff(eng, bctx, ct0, ct1, rk)
-        ct = eng.rs(ct)
-    ct.nu = ctx.Delta
-    return ct
+    q_src = float(ctx.q[ct.l])
+    ct = raise_modulus(eng, ct, nu=ctx.Delta)
+    ct0, ct1 = coeff2slot(eng, bctx, ct, ck, rk)
+
+    def mod_reduce(cti: Ciphertext) -> Ciphertext:
+        # c2s output decodes to mu = t/Delta, so the exp argument constant is
+        # a = 2 pi Delta / q_src, giving sin(a*mu) = sin(2 pi t / q_src).
+        a = 2 * params.PI * ctx.Delta / q_src
+        ce = _exp_small_a(eng, a * 1j, cti, rlk, iter)
+        ce_neg = eng.conj(ce.copy(), ck)
+        diff = eng.sub(ce, ce_neg)           # 2i sin(2pi t / q_src)
+        # divide by 2i and by (2 pi / q_src): output message ~ (t mod q_src)/Delta
+        b = 1.0 / (2j * 2 * params.PI * ctx.Delta / q_src) / ctx.Delta * ctx.Delta
+        b = q_src / (4j * params.PI * ctx.Delta)
+        ptb = eng.ecd(np.full(ctx.slots, b, dtype=np.complex128))
+        return eng.rs(eng.mulpt(diff, ptb))
+
+    ct0 = mod_reduce(ct0)
+    ct1 = mod_reduce(ct1)
+    # After s2c the ciphertext already encodes m at scale Delta (the ledger
+    # is consistent end-to-end) — no final rescale, unlike the reference's
+    # (untested) flow which needed one to patch its scale mismatch.
+    return slot2coeff(eng, bctx, ct0, ct1, rk)

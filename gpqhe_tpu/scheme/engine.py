@@ -84,6 +84,7 @@ class CKKS:
         gap = nh // ctx.slots
         re = sample.c_round(u.real * nu)
         im = sample.c_round(u.imag * nu)
+        coeff_bound = float(max(np.max(np.abs(re)), np.max(np.abs(im)), 1.0))
         if np.max(np.abs(np.concatenate([re, im]))) < 2**62:
             coeffs = np.zeros(n, dtype=np.int64)
             coeffs[0:nh:gap] = re.astype(np.int64)
@@ -95,7 +96,8 @@ class CKKS:
                 coeffs[i * gap] = int(re[i])
                 coeffs[i * gap + nh] = int(im[i])
             limbs = jnp.asarray(bigint.ints_to_limbs(coeffs, self.kq))
-        return Plaintext(nu=float(nu), m=limbs, mod_bits=32 * self.kq)
+        return Plaintext(nu=float(nu), m=limbs, mod_bits=32 * self.kq,
+                         bound=coeff_bound)
 
     def dcd(self, pt: Plaintext) -> np.ndarray:
         """Decode plaintext back to complex slots (ref: src/he-encode.c:67-74)."""
@@ -148,7 +150,8 @@ class CKKS:
         coeffs[0] = int(sample.c_round(np.float64(num.real) * ctx.Delta))
         coeffs[nh] = int(sample.c_round(np.float64(num.imag) * ctx.Delta))
         limbs = jnp.asarray(bigint.ints_to_limbs(coeffs, self.kq))
-        return Plaintext(nu=ctx.Delta, m=limbs, mod_bits=32 * self.kq)
+        return Plaintext(nu=ctx.Delta, m=limbs, mod_bits=32 * self.kq,
+                         bound=float(max(abs(coeffs[0]), abs(coeffs[nh]), 1)))
 
     # ------------------------------------------------------------------
     # keygen (ref: src/he-kem.c)
@@ -501,7 +504,7 @@ class CKKS:
         l = ct.l
         qb = self.qbits(l)
         klv = self.kl(l)
-        dim = ctx.dim_mulpt(l, pt.nu)
+        dim = ctx.dim_mulpt(l, pt.size_bound)
         key = ("he_mulpt", l, dim, pt.m.shape[-1])
 
         def build():

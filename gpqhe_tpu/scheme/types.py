@@ -17,11 +17,20 @@ import jax.numpy as jnp
 
 @dataclass
 class Plaintext:
-    """nu = canonical-embedding norm bound; m = limb tensor [n, K], two's
-    complement mod 2^mod_bits (ref: struct he_pt, src/gpqhe.h:93-97)."""
+    """nu = encode scale (decode divides by it); m = limb tensor [n, K],
+    two's complement mod 2^mod_bits (ref: struct he_pt, src/gpqhe.h:93-97).
+
+    bound = max |coefficient| (for RNS dimension sizing in mulpt — the
+    reference sizes by nu and silently under-sizes for messages > 1,
+    ref: src/he-mult.c:168).  None means nu."""
     nu: float
     m: jnp.ndarray
     mod_bits: int
+    bound: float | None = None
+
+    @property
+    def size_bound(self) -> float:
+        return self.nu if self.bound is None else max(self.nu, self.bound)
 
 
 @dataclass
