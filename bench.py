@@ -78,7 +78,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from gpqhe_tpu.context import PolyContext
     from gpqhe_tpu.ops import rns as rns_ops
-    from gpqhe_tpu.ops.ntt import ntt
+    from gpqhe_tpu.ring.poly import RingEngine
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({time.time()-t_start:.1f}s startup)")
@@ -87,6 +87,11 @@ def main():
     n = 1 << LOGN
     pctx = PolyContext(LOGN, q=1 << 900, dim_cap=DIM)
     ba = rns_ops.make_basis_arrays(pctx, DIM)
+    # pallas backend: fused all-stage VMEM kernels with the poly fold
+    # (bit-identical evaluation order to the butterfly path, which in turn
+    # is checked against the numpy oracle below)
+    ring = RingEngine(pctx, ntt_impl="pallas")
+    ring.prepare(DIM, folds=(BATCH,))
     log(f"context ready ({time.time()-t_start:.1f}s)")
 
     rng = np.random.default_rng(0)
@@ -95,14 +100,14 @@ def main():
         for _ in range(BATCH)])
     a = jnp.asarray(a_np)
 
-    # twiddles as ARGUMENTS, not closure constants (8MB MLIR constants choke
-    # the remote-compile path).  NOTE: first lowering over the tunnel has a
-    # one-time multi-minute cost; be patient.
-    lowered = jax.jit(ntt).lower(a, ba.zetas, ba.ps, ba.pinv)
+    # NOTE: first lowering over the tunnel has a one-time multi-minute cost;
+    # be patient.
+    fwd = jax.jit(lambda x: ring.ntt_f(x, DIM))
+    lowered = fwd.lower(a)
     log(f"lowered ({time.time()-t_start:.1f}s)")
     comp = lowered.compile()
     log(f"compiled ({time.time()-t_start:.1f}s)")
-    out = comp(a, ba.zetas, ba.ps, ba.pinv)
+    out = comp(a)
     out.block_until_ready()
 
     # correctness spot check vs numpy baseline on one (batch, prime)
@@ -115,7 +120,7 @@ def main():
     iters = 20
     t0 = time.time()
     for _ in range(iters):
-        out = comp(out, ba.zetas, ba.ps, ba.pinv)
+        out = comp(out)
     out.block_until_ready()
     dt = time.time() - t0
     ops_per_sec = BATCH * DIM * iters / dt

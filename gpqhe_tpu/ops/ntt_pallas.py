@@ -36,6 +36,10 @@ _C = 128        # lane width
 _M16 = 0xFFFF
 _16 = 16
 
+# When True, pallas_call runs in interpret mode (pure XLA emulation) — lets
+# CPU tests exercise the exact kernel code paths without Mosaic.
+INTERPRET = False
+
 
 # ---------------------------------------------------------------------------
 # u32-pair arithmetic
@@ -122,9 +126,12 @@ def _submod(alo, ahi, blo, bhi, plo, phi):
 # kernels
 # ---------------------------------------------------------------------------
 
-def _big_stages(alo, ahi, zb_lo, zb_hi, plo, phi, vlo, vhi, R, inverse):
-    """Stages with len >= 128 on M[R, C].  Forward: len descending from n/2
-    to 128; inverse: ascending 128..n/2 (GS)."""
+def _big_stages(alo, ahi, zb_lo, zb_hi, plo, phi, vlo, vhi, R, P, inverse):
+    """Stages with len >= 128 on the folded view M[R*P, C], row = r*P + j
+    (j = poly index within the fold).  Butterfly partners sit P*len/128 rows
+    apart and every row of a block shares one zeta, so the P>1 fold only
+    changes the block height.  Forward: len descending from n/2 to 128;
+    inverse: ascending 128..n/2 (GS)."""
     Ls = []
     L = R // 2
     while L >= 1:
@@ -134,10 +141,10 @@ def _big_stages(alo, ahi, zb_lo, zb_hi, plo, phi, vlo, vhi, R, inverse):
         Ls = Ls[::-1]
     for L in Ls:
         nb = R // (2 * L)
-        x0l = alo.reshape(nb, 2 * L, _C)[:, :L, :]
-        x0h = ahi.reshape(nb, 2 * L, _C)[:, :L, :]
-        x1l = alo.reshape(nb, 2 * L, _C)[:, L:, :]
-        x1h = ahi.reshape(nb, 2 * L, _C)[:, L:, :]
+        x0l = alo.reshape(nb, 2 * L * P, _C)[:, :L * P, :]
+        x0h = ahi.reshape(nb, 2 * L * P, _C)[:, :L * P, :]
+        x1l = alo.reshape(nb, 2 * L * P, _C)[:, L * P:, :]
+        x1h = ahi.reshape(nb, 2 * L * P, _C)[:, L * P:, :]
         zl = zb_lo[nb:2 * nb, :].reshape(nb, 1, _C)
         zh = zb_hi[nb:2 * nb, :].reshape(nb, 1, _C)
         if not inverse:
@@ -148,26 +155,28 @@ def _big_stages(alo, ahi, zb_lo, zb_hi, plo, phi, vlo, vhi, R, inverse):
             y0l, y0h = _addmod(x0l, x0h, x1l, x1h, plo, phi)
             dl, dh = _submod(x0l, x0h, x1l, x1h, plo, phi)
             y1l, y1h = _mont_mul(dl, dh, zl, zh, plo, phi, vlo, vhi)
-        alo = jnp.concatenate([y0l, y1l], axis=1).reshape(R, _C)
-        ahi = jnp.concatenate([y0h, y1h], axis=1).reshape(R, _C)
+        alo = jnp.concatenate([y0l, y1l], axis=1).reshape(R * P, _C)
+        ahi = jnp.concatenate([y0h, y1h], axis=1).reshape(R * P, _C)
     return alo, ahi
 
 
-def _tail_stages(tlo, thi, zt_lo, zt_hi, plo, phi, vlo, vhi, R, inverse):
-    """Stages with len < 128 on M^T [C, R].  Forward: len descending 64..1;
-    inverse: ascending 1..64.  zt rows are laid out in the same order."""
+def _tail_stages(tlo, thi, zt_lo, zt_hi, plo, phi, vlo, vhi, W, inverse):
+    """Stages with len < 128 on M^T [C, W] (W = R*P; the fold only widens the
+    lane dimension — zt planes carry the P-fold repeat from _tail_planes).
+    Forward: len descending 64..1; inverse: ascending 1..64.  zt rows are
+    laid out in the same order."""
     lens = [64, 32, 16, 8, 4, 2, 1]
     if inverse:
         lens = lens[::-1]
     off = 0
     for ln in lens:
         gpr = _C // (2 * ln)
-        x0l = tlo.reshape(gpr, 2 * ln, R)[:, :ln, :]
-        x0h = thi.reshape(gpr, 2 * ln, R)[:, :ln, :]
-        x1l = tlo.reshape(gpr, 2 * ln, R)[:, ln:, :]
-        x1h = thi.reshape(gpr, 2 * ln, R)[:, ln:, :]
-        zl = zt_lo[off:off + gpr, :].reshape(gpr, 1, R)
-        zh = zt_hi[off:off + gpr, :].reshape(gpr, 1, R)
+        x0l = tlo.reshape(gpr, 2 * ln, W)[:, :ln, :]
+        x0h = thi.reshape(gpr, 2 * ln, W)[:, :ln, :]
+        x1l = tlo.reshape(gpr, 2 * ln, W)[:, ln:, :]
+        x1h = thi.reshape(gpr, 2 * ln, W)[:, ln:, :]
+        zl = zt_lo[off:off + gpr, :].reshape(gpr, 1, W)
+        zh = zt_hi[off:off + gpr, :].reshape(gpr, 1, W)
         if not inverse:
             tl, th = _mont_mul(x1l, x1h, zl, zh, plo, phi, vlo, vhi)
             y0l, y0h = _addmod(x0l, x0h, tl, th, plo, phi)
@@ -176,18 +185,20 @@ def _tail_stages(tlo, thi, zt_lo, zt_hi, plo, phi, vlo, vhi, R, inverse):
             y0l, y0h = _addmod(x0l, x0h, x1l, x1h, plo, phi)
             dl, dh = _submod(x0l, x0h, x1l, x1h, plo, phi)
             y1l, y1h = _mont_mul(dl, dh, zl, zh, plo, phi, vlo, vhi)
-        tlo = jnp.concatenate([y0l, y1l], axis=1).reshape(_C, R)
-        thi = jnp.concatenate([y0h, y1h], axis=1).reshape(_C, R)
+        tlo = jnp.concatenate([y0l, y1l], axis=1).reshape(_C, W)
+        thi = jnp.concatenate([y0h, y1h], axis=1).reshape(_C, W)
         off += gpr
     return tlo, thi
 
 
-def _ntt_kernel(R: int, inverse: bool,
+def _ntt_kernel(R: int, P: int, inverse: bool,
                 a_ref, zbig_ref, ztail_ref, scc_ref, scr_ref, out_ref):
-    """Grid-free single-prime kernel (the remote Mosaic helper rejects any
-    gridded pallas_call — see CLAUDE.md).  Scalars arrive lane-replicated:
-    scc [2, 8, C] rows = (p, pinv, ninv) for the normal domain, scr [2, 8, R]
-    for the transposed domain."""
+    """Grid-free single-prime kernel over a P-poly fold (the remote Mosaic
+    helper rejects any gridded pallas_call — see CLAUDE.md).  a_ref is
+    [2, R*P, C] with row = r*P + j for poly j of the fold; all P polys share
+    the prime, so scalars and big-stage zetas are poly-independent.  Scalars
+    arrive lane-replicated: scc [2, 8, C] rows = (p, pinv, ninv) for the
+    normal domain, scr [2, 8, R*P] for the transposed domain."""
     plo_c = scc_ref[0, 0:1, :]
     phi_c = scc_ref[1, 0:1, :]
     vlo_c = scc_ref[0, 1:2, :]
@@ -200,20 +211,21 @@ def _ntt_kernel(R: int, inverse: bool,
     vhi_r = scr_ref[1, 1:2, :]
     alo = a_ref[0]
     ahi = a_ref[1]
+    W = R * P
     if not inverse:
         alo, ahi = _big_stages(alo, ahi, zbig_ref[0], zbig_ref[1],
-                               plo_c, phi_c, vlo_c, vhi_c, R, False)
+                               plo_c, phi_c, vlo_c, vhi_c, R, P, False)
         tlo, thi = alo.T, ahi.T
         tlo, thi = _tail_stages(tlo, thi, ztail_ref[0], ztail_ref[1],
-                                plo_r, phi_r, vlo_r, vhi_r, R, False)
+                                plo_r, phi_r, vlo_r, vhi_r, W, False)
         alo, ahi = tlo.T, thi.T
     else:
         tlo, thi = a_ref[0].T, a_ref[1].T
         tlo, thi = _tail_stages(tlo, thi, ztail_ref[0], ztail_ref[1],
-                                plo_r, phi_r, vlo_r, vhi_r, R, True)
+                                plo_r, phi_r, vlo_r, vhi_r, W, True)
         alo, ahi = tlo.T, thi.T
         alo, ahi = _big_stages(alo, ahi, zbig_ref[0], zbig_ref[1],
-                               plo_c, phi_c, vlo_c, vhi_c, R, True)
+                               plo_c, phi_c, vlo_c, vhi_c, R, P, True)
         alo, ahi = _mont_mul(alo, ahi, nlo_c, nhi_c, plo_c, phi_c, vlo_c, vhi_c)
     out_ref[0] = alo
     out_ref[1] = ahi
@@ -227,10 +239,11 @@ def _ntt_kernel(R: int, inverse: bool,
 class PallasNttPlan:
     dim: int
     n: int
+    P: int                  # poly-fold factor (polys per kernel call)
     scc: jnp.ndarray        # u32[dim, 2, 8, C]: p/pinv/ninv lane-replicated
-    scr: jnp.ndarray        # u32[dim, 2, 8, R]
+    scr: jnp.ndarray        # u32[dim, 2, 8, R*P]
     zbig_f: jnp.ndarray     # u32[dim, 2, R, C]
-    ztail_f: jnp.ndarray    # u32[dim, 2, 128, R]
+    ztail_f: jnp.ndarray    # u32[dim, 2, 128, R*P]
     zbig_i: jnp.ndarray
     ztail_i: jnp.ndarray
 
@@ -244,9 +257,11 @@ def _lane_rep_big(z: np.ndarray, R: int) -> np.ndarray:
                      np.repeat(hi[:, None], _C, axis=1)])
 
 
-def _tail_planes(z: np.ndarray, n: int, R: int, inverse: bool) -> np.ndarray:
-    """[2, 128, R] u32: per-stage zeta planes Z[g, r] = z[nb + r*gpr + g],
-    stage rows concatenated in execution order."""
+def _tail_planes(z: np.ndarray, n: int, R: int, inverse: bool,
+                 P: int = 1) -> np.ndarray:
+    """[2, 128, R*P] u32: per-stage zeta planes Z[g, r*P+j] = z[nb + r*gpr + g]
+    (repeated across the P-fold axis), stage rows concatenated in execution
+    order."""
     lens = [64, 32, 16, 8, 4, 2, 1]
     if inverse:
         lens = lens[::-1]
@@ -256,11 +271,11 @@ def _tail_planes(z: np.ndarray, n: int, R: int, inverse: bool) -> np.ndarray:
         gpr = _C // (2 * ln)
         nb = n // (2 * ln)
         for g in range(gpr):
-            vals = z[nb + r_idx * gpr + g]
+            vals = np.repeat(z[nb + r_idx * gpr + g], P)
             rows_lo.append((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
             rows_hi.append((vals >> np.uint64(32)).astype(np.uint32))
-    rows_lo.append(np.zeros(R, dtype=np.uint32))
-    rows_hi.append(np.zeros(R, dtype=np.uint32))
+    rows_lo.append(np.zeros(R * P, dtype=np.uint32))
+    rows_hi.append(np.zeros(R * P, dtype=np.uint32))
     return np.stack([np.stack(rows_lo), np.stack(rows_hi)])
 
 
@@ -273,7 +288,7 @@ def _scal_rows(p: int, pinv: int, ninv: int, width: int) -> np.ndarray:
     return out
 
 
-def make_pallas_plan(pctx, dim: int) -> PallasNttPlan:
+def make_pallas_plan(pctx, dim: int, P: int = 1) -> PallasNttPlan:
     n = pctx.n
     assert n >= 1024, "pallas NTT backend needs n >= 1024"
     R = n // _C
@@ -281,13 +296,13 @@ def make_pallas_plan(pctx, dim: int) -> PallasNttPlan:
     for d in range(dim):
         pc = pctx.prime_ctx[d]
         scc.append(_scal_rows(pc.p, pc.pinv_mont, pc.ninv_mont, _C))
-        scr.append(_scal_rows(pc.p, pc.pinv_mont, pc.ninv_mont, R))
+        scr.append(_scal_rows(pc.p, pc.pinv_mont, pc.ninv_mont, R * P))
         zbf.append(_lane_rep_big(pc.zetas, R))
-        ztf.append(_tail_planes(pc.zetas, n, R, False))
+        ztf.append(_tail_planes(pc.zetas, n, R, False, P))
         zbi.append(_lane_rep_big(pc.zetas_inv, R))
-        zti.append(_tail_planes(pc.zetas_inv, n, R, True))
+        zti.append(_tail_planes(pc.zetas_inv, n, R, True, P))
     return PallasNttPlan(
-        dim=dim, n=n,
+        dim=dim, n=n, P=P,
         scc=jnp.asarray(np.stack(scc)), scr=jnp.asarray(np.stack(scr)),
         zbig_f=jnp.asarray(np.stack(zbf)), ztail_f=jnp.asarray(np.stack(ztf)),
         zbig_i=jnp.asarray(np.stack(zbi)), ztail_i=jnp.asarray(np.stack(zti)),
@@ -307,20 +322,31 @@ def _join(x, n):
 
 
 def ntt_pallas(a, plan: PallasNttPlan, inverse: bool = False,
-               interpret: bool = False):
-    """u64[dim, n] -> u64[dim, n].  One grid-free pallas call per prime
+               interpret: bool | None = None):
+    """u64[dim, n] (plan.P == 1) or u64[P, dim, n] -> same shape.  One
+    grid-free pallas call per prime covering all P polys of the fold
     (identical kernels — XLA dedups the compilations); compose under jit."""
-    dim, n = a.shape
-    R = n // _C
-    a32 = _split(a, R)                                  # [dim, 2, R, C]
+    if interpret is None:
+        interpret = INTERPRET
+    P = plan.P
+    if P == 1:
+        dim, n = a.shape
+        R = n // _C
+        a32 = _split(a, R)                              # [dim, 2, R, C]
+    else:
+        Pa, dim, n = a.shape
+        assert Pa == P, (Pa, P)
+        R = n // _C
+        a32 = _split(a, R)                              # [P, dim, 2, R, C]
+        a32 = a32.transpose(1, 2, 3, 0, 4).reshape(dim, 2, R * P, _C)
     zbig = plan.zbig_i if inverse else plan.zbig_f
     ztail = plan.ztail_i if inverse else plan.ztail_f
-    kernel = functools.partial(_ntt_kernel, R, inverse)
+    kernel = functools.partial(_ntt_kernel, R, P, inverse)
     call = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, R, _C), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((2, R * P, _C), jnp.uint32),
         interpret=interpret,
     )
 
@@ -328,4 +354,7 @@ def ntt_pallas(a, plan: PallasNttPlan, inverse: bool = False,
     def body(args):
         return call(*args)
     out = jax.lax.map(body, (a32, zbig, ztail, plan.scc, plan.scr))
+    if P == 1:
+        return _join(out, n)
+    out = out.reshape(dim, 2, R, P, _C).transpose(3, 0, 1, 2, 4)
     return _join(out, n)

@@ -56,42 +56,73 @@ class RingEngine:
             self._ntt4[dim] = make_ntt4_plan(self.pctx, dim)
         return self._ntt4[dim]
 
-    def pallas_plan(self, dim: int):
-        if dim not in self._pallas:
-            from ..ops.ntt_pallas import make_pallas_plan
-            self._pallas[dim] = make_pallas_plan(self.pctx, dim)
-        return self._pallas[dim]
+    # Poly-fold cap for the pallas kernel: one grid-free call must keep
+    # input+output+zeta planes in ~16MB VMEM; R*P rows of u32-pair data stay
+    # safe through n*P <= 2^17 (n=2^16 P=4 overflows; P=2 verified on TPU).
+    _PALLAS_FOLD_BUDGET = 1 << 17
 
-    def prepare(self, dim: int) -> None:
+    def pallas_plan(self, dim: int, P: int = 1):
+        if (dim, P) not in self._pallas:
+            from ..ops.ntt_pallas import make_pallas_plan
+            self._pallas[(dim, P)] = make_pallas_plan(self.pctx, dim, P)
+        return self._pallas[(dim, P)]
+
+    def pallas_fold(self, P: int) -> int:
+        """Largest usable fold for a P-poly stack (divisor of P within the
+        VMEM budget)."""
+        pmax = max(1, self._PALLAS_FOLD_BUDGET // self.pctx.n)
+        while P % pmax or pmax > P:
+            pmax -= 1
+        return pmax
+
+    def prepare(self, dim: int, folds: tuple[int, ...] = (1,)) -> None:
         """Eagerly materialize device plans for dim (must run OUTSIDE any jit
-        trace — device arrays created during tracing would leak as tracers)."""
+        trace — device arrays created during tracing would leak as tracers).
+        folds lists the poly-stack sizes later NTT calls will use."""
         self.ba(dim)
         if self.ntt_impl == "matmul":
             self.ntt4_plan(dim)
         if self.ntt_impl == "pallas" and self.pctx.n >= 1024:
-            self.pallas_plan(dim)
+            for P in folds:
+                self.pallas_plan(dim, self.pallas_fold(P))
+
+    def _pallas_ntt(self, res, dim: int, inverse: bool):
+        import jax
+
+        from ..ops.ntt_pallas import ntt_pallas
+        if res.ndim == 2:
+            return ntt_pallas(res, self.pallas_plan(dim, 1), inverse)
+        P = res.shape[0]
+        fold = self.pallas_fold(P)
+        if fold == P:
+            return ntt_pallas(res, self.pallas_plan(dim, P), inverse)
+        plan = self.pallas_plan(dim, fold)
+        g = P // fold
+        out = jax.lax.map(
+            lambda x: ntt_pallas(x, plan, inverse),
+            res.reshape(g, fold, dim, self.pctx.n))
+        return out.reshape(res.shape)
 
     def ntt_f(self, res, dim: int):
-        """Forward NTT with the selected backend; res u64[..., dim, n]."""
+        """Forward NTT with the selected backend; res u64[..., dim, n].
+        With the pallas backend a leading poly axis ([P, dim, n]) is folded
+        into single kernel calls (same prime -> shared scalars/zetas)."""
         if self.ntt_impl == "matmul":
             from ..ops.ntt4 import ntt4
             return ntt4(res, self.ntt4_plan(dim))
-        if self.ntt_impl == "pallas" and self.pctx.n >= 1024 and res.ndim == 2:
-            from ..ops.ntt_pallas import ntt_pallas
-            return ntt_pallas(res, self.pallas_plan(dim))
+        if self.ntt_impl == "pallas" and self.pctx.n >= 1024 and res.ndim <= 3:
+            return self._pallas_ntt(res, dim, inverse=False)
         ba = self.ba(dim)
         return ntt(res, ba.zetas, ba.ps, ba.pinv)
 
     def ntt_i(self, res, dim: int):
-        """Inverse NTT with the selected backend.
-
-        'pallas' currently pairs the Pallas forward with the butterfly
-        inverse: the two produce IDENTICAL evaluation orderings (verified
-        elementwise on TPU), and the inverse Pallas kernel still trips the
-        remote Mosaic helper (see CLAUDE.md)."""
+        """Inverse NTT with the selected backend (pallas inverse verified on
+        TPU for P=1 and folded stacks; orderings match 'butterfly' exactly)."""
         if self.ntt_impl == "matmul":
             from ..ops.ntt4 import intt4
             return intt4(res, self.ntt4_plan(dim))
+        if self.ntt_impl == "pallas" and self.pctx.n >= 1024 and res.ndim <= 3:
+            return self._pallas_ntt(res, dim, inverse=True)
         ba = self.ba(dim)
         return intt(res, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
 

@@ -420,8 +420,7 @@ class CKKS:
         p_half_up = jnp.asarray(self.p_half_up)
         rk8 = self.rk8
 
-        def half(uh):
-            res = self.ring.ntt_i(uh, dim)
+        def post(res):
             c = rns_ops.reconstruct(res, ba, plan, center=True)
             r = rns_ops.reconstruct(res[:ctx.dim], ba8, plan8, center=False)
             cm = lb.resize(c, kq)
@@ -430,7 +429,12 @@ class CKKS:
             round_bit = lb.geq_const(lb.resize(r, rk8), p_half_up)
             u = lb.add_scalar_bit(u, round_bit.astype(jnp.uint32))
             return lb.resize(lb.mask_bits(u, qb), klv)
-        return half
+
+        def pair(u0h, u1h):
+            # both halves' inverse NTTs in one folded kernel call
+            res = self.ring.ntt_i(jnp.stack([u0h, u1h]), dim)
+            return post(res[0]), post(res[1])
+        return pair
 
     def mul_step_fn(self, l: int):
         """The raw jitted he_mul program for level l:
@@ -444,43 +448,44 @@ class CKKS:
         key = ("he_mul", l)
 
         def build():
-            self.ring.prepare(dim_m)
-            self.ring.prepare(dim_s)
+            self.ring.prepare(dim_m, folds=(4, 3))
+            self.ring.prepare(dim_s, folds=(1, 2))
             bam = self.ring.ba(dim_m)
             planm = self.ring.recon(dim_m)
             r2m = jnp.array(ctx.poly.basis(dim_m).r2)
             bas = self.ring.ba(dim_s)
             r2s = jnp.array(ctx.poly.basis(dim_s).r2)
-            ks_half = self._keyswitch_core(dim_s, l)
+            ks_pair = self._keyswitch_core(dim_s, l)
             wm = self.ring.weights(dim_m, klv)
             ws = self.ring.weights(dim_s, klv)
 
             @jax.jit
             def f(c10, c11, c20, c21, ek0, ek1):
-                # cross terms over the dim_m basis (ref: src/he-mult.c:116-138)
-                def fwd(x):
-                    return self.ring.ntt_f(rns_ops.decompose(x, bam, wm), dim_m)
-                x0, x1, y0, y1 = fwd(c10), fwd(c11), fwd(c20), fwd(c21)
+                # cross terms over the dim_m basis (ref: src/he-mult.c:116-138);
+                # the 4 forward NTTs ride one folded kernel stack
+                dec = [rns_ops.decompose(x, bam, wm)
+                       for x in (c10, c11, c20, c21)]
+                x0, x1, y0, y1 = self.ring.ntt_f(jnp.stack(dec), dim_m)
                 pm = bam.ps[:, None]
                 pvm = bam.pinv[:, None]
                 d0h = mulmod(x0, y0, pm, pvm, r2m[:, None])
                 d2h = mulmod(x1, y1, pm, pvm, r2m[:, None])
                 d1h = addmod(mulmod(x0, y1, pm, pvm, r2m[:, None]),
                              mulmod(x1, y0, pm, pvm, r2m[:, None]), pm)
+                # the 3 inverse NTTs likewise
+                resb = self.ring.ntt_i(jnp.stack([d0h, d1h, d2h]), dim_m)
 
-                def back(ch):
-                    res = self.ring.ntt_i(ch, dim_m)
+                def back(res):
                     c = rns_ops.reconstruct(res, bam, planm, center=True)
                     return lb.resize(lb.mask_bits(c, qb), klv)
-                d0, d1, d2 = back(d0h), back(d1h), back(d2h)
+                d0, d1, d2 = back(resb[0]), back(resb[1]), back(resb[2])
                 # relinearize d2 with rlk over the dim_s basis (ref: he-mult.c:40-85)
                 d2hat = self.ring.ntt_f(rns_ops.decompose(d2, bas, ws), dim_s)
                 ps = bas.ps[:, None]
                 pvs = bas.pinv[:, None]
                 u0h = mulmod(d2hat, ek0[:dim_s], ps, pvs, r2s[:, None])
                 u1h = mulmod(d2hat, ek1[:dim_s], ps, pvs, r2s[:, None])
-                u0 = ks_half(u0h)
-                u1 = ks_half(u1h)
+                u0, u1 = ks_pair(u0h, u1h)
                 c0 = lb.mask_bits(lb.add(u0, d0), qb)
                 c1 = lb.mask_bits(lb.add(u1, d1), qb)
                 return c0, c1
@@ -586,19 +591,19 @@ class CKKS:
         key = ("swk", l, d0.shape)
 
         def build():
-            self.ring.prepare(dim_s)
+            self.ring.prepare(dim_s, folds=(1, 2))
             bas = self.ring.ba(dim_s)
             r2s = jnp.array(ctx.poly.basis(dim_s).r2)
             ws = self.ring.weights(dim_s, klv)
-            ks_half = self._keyswitch_core(dim_s, l)
+            ks_pair = self._keyswitch_core(dim_s, l)
 
             @jax.jit
             def f(dd0, dd1, ek0, ek1):
                 dhat = self.ring.ntt_f(rns_ops.decompose(dd1, bas, ws), dim_s)
                 ps = bas.ps[:, None]
                 pvs = bas.pinv[:, None]
-                u0 = ks_half(mulmod(dhat, ek0[:dim_s], ps, pvs, r2s[:, None]))
-                u1 = ks_half(mulmod(dhat, ek1[:dim_s], ps, pvs, r2s[:, None]))
+                u0, u1 = ks_pair(mulmod(dhat, ek0[:dim_s], ps, pvs, r2s[:, None]),
+                                 mulmod(dhat, ek1[:dim_s], ps, pvs, r2s[:, None]))
                 c0 = lb.mask_bits(lb.add(u0, dd0), qb)
                 return c0, u1
             return f
