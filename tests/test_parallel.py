@@ -41,3 +41,79 @@ def test_sharded_poly_mul_matches_single():
 def test_mesh_shapes():
     mesh = make_he_mesh(8)
     assert mesh.shape["limb"] * mesh.shape["batch"] == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_poly_mul_3d_matches_single():
+    """Full (limb=2, coeff=2, batch=2) mesh: the coefficient-sharded NTT
+    (ppermute cross stages + local stages) must reproduce the single-device
+    product bit-for-bit."""
+    from gpqhe_tpu.parallel.mesh import build_sharded_poly_mul_3d, make_he_mesh3
+
+    random.seed(11)
+    logn, dim, K = 6, 4, 4
+    n = 1 << logn
+    pctx = PolyContext(logn, q=1 << 100, dim_cap=dim)
+    mesh = make_he_mesh3(8, limb=2, coeff=2)  # batch=2
+    B = 4
+    mask_bits = 32 * K
+    f = build_sharded_poly_mul_3d(pctx, dim, K, mask_bits, K, mesh)
+    a_ints = [[random.getrandbits(100) for _ in range(n)] for _ in range(B)]
+    b_ints = [[random.getrandbits(100) for _ in range(n)] for _ in range(B)]
+    a = jnp.asarray(np.stack([bigint.ints_to_limbs(x, K) for x in a_ints]))
+    b = jnp.asarray(np.stack([bigint.ints_to_limbs(x, K) for x in b_ints]))
+    got = np.asarray(f(a, b))
+    ring = RingEngine(pctx)
+    for i in range(B):
+        single = np.asarray(ring.poly_mul(a[i], b[i], dim, mask_bits, K))
+        assert np.array_equal(got[i], single), f"batch element {i} differs"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_coeff_sharded_ntt_roundtrip_deep():
+    """8-way coefficient sharding (3 ppermute stages) of the bare NTT:
+    forward matches the single-device NTT bit-for-bit, and fwd->inv is the
+    identity."""
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from gpqhe_tpu.ops import rns as rns_ops
+    from gpqhe_tpu.ops.ntt import ntt
+    from gpqhe_tpu.parallel.mesh import (
+        _intt_coeff_sharded, _ntt_coeff_sharded, make_coeff_ntt_plan)
+
+    logn, dim, S = 8, 2, 8
+    n = 1 << logn
+    pctx = PolyContext(logn, q=1 << 100, dim_cap=dim)
+    ba = rns_ops.make_basis_arrays(pctx, dim)
+    cp = make_coeff_ntt_plan(pctx, dim, S)
+    splan = dict(S=S, L=cp["L"], logS=cp["logS"],
+                 f_lengths=cp["f_lengths"], i_lengths=cp["i_lengths"])
+    mesh = Mesh(np.array(jax.devices()[:S]), axis_names=("coeff",))
+
+    def fwd_k(x, zl, zc):
+        return _ntt_coeff_sharded(x, zl, zc, jnp.asarray(ba.ps),
+                                  jnp.asarray(ba.pinv), splan, "coeff")
+
+    def inv_k(x, zl, zc):
+        return _intt_coeff_sharded(x, zl, zc, jnp.asarray(ba.ps),
+                                   jnp.asarray(ba.pinv),
+                                   jnp.asarray(ba.ninv_mont), splan, "coeff")
+
+    specs = dict(
+        in_specs=(P(None, "coeff"), P(None, "coeff", None),
+                  P(None, None, "coeff")),
+        out_specs=P(None, "coeff"))
+    fwd = jax.jit(shard_map(fwd_k, mesh=mesh, check_rep=False, **specs))
+    inv = jax.jit(shard_map(inv_k, mesh=mesh, check_rep=False, **specs))
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(np.stack([rng.integers(0, p, n, dtype=np.uint64)
+                              for p in pctx.primes[:dim]]))
+    ref = ntt(a, ba.zetas, ba.ps, ba.pinv)
+    got = fwd(a, jnp.asarray(cp["zl_f"]), jnp.asarray(cp["zc_f"]))
+    assert jnp.array_equal(ref, got)
+    back = inv(got, jnp.asarray(cp["zl_i"]), jnp.asarray(cp["zc_i"]))
+    assert jnp.array_equal(a, back)
