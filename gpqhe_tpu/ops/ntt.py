@@ -50,6 +50,36 @@ def ntt(a, zetas, ps, pinv):
     return a
 
 
+def ntt_galois_perm(logn: int, rot: int | None) -> "np.ndarray":
+    """Index permutation realizing the galois automorphism IN THE NTT DOMAIN.
+
+    The butterfly NTT's output index i holds the evaluation at w^(2*brv(i)+1)
+    (w = 2n-th root; Kyber-shaped CT network, ref: src/ntt.c:37-52).  The
+    automorphism X -> X^g (g = 5^rot for rotations, ref: src/poly.c:263-276;
+    g = -1 for conjugation, ref: src/poly.c:278-283) evaluates the original
+    polynomial at w^(e*g), so NTT(galois(a))[j] = NTT(a)[perm[j]] with
+    2*brv(perm[j])+1 = (2*brv(j)+1)*g mod 2n — a pure permutation (no signs:
+    Montgomery/scale factors are index-independent).  Valid for the
+    'butterfly' and 'pallas' backends (identical orderings); NOT for
+    'matmul'."""
+    import numpy as np
+    n = 1 << logn
+    m = 2 * n
+    g = pow(5, rot, m) if rot is not None else m - 1
+
+    def brv(x):
+        r = 0
+        for _ in range(logn):
+            r = (r << 1) | (x & 1)
+            x >>= 1
+        return r
+
+    e = np.array([2 * brv(j) + 1 for j in range(n)], dtype=np.int64)
+    inv_e = np.zeros(m, dtype=np.int64)
+    inv_e[e] = np.arange(n)
+    return inv_e[(e * g) % m].astype(np.int32)
+
+
 def intt(a, zetas_inv, ps, pinv, ninv_mont):
     """Inverse NTT, Gentleman-Sande order, with final n^-1 scaling
     (ref: src/ntt.c:54-73)."""

@@ -40,7 +40,7 @@ class CKKS:
     """Scheme engine bound to one HeContext."""
 
     def __init__(self, ctx: HeContext, rng: Surf | None = None,
-                 ntt_impl: str = "butterfly"):
+                 ntt_impl: str = "butterfly", hoist_bits: int | None = None):
         self.ctx = ctx
         self.ring = RingEngine(ctx.poly, ntt_impl=ntt_impl)
         self.rng = rng if rng is not None else default_rng()
@@ -52,6 +52,14 @@ class CKKS:
         r8 = self.ring.recon(ctx.dim)
         self.rk8 = r8.ks                                          # width of r = c mod P
         self.p_half_up = bigint.int_to_limbs((ctx.P + 1) // 2, self.rk8)
+        # hoisted rotations accumulate pt*perm(c1hat)*evk in the extended
+        # basis, so switch keys carry extra limbs covering the plaintext
+        # scale (hoist_bits; default sized for gemv diagonals at Delta)
+        if hoist_bits is None:
+            hoist_bits = int(ctx.Delta).bit_length() + ctx.poly.logn + 8
+        self.dimswk_h = min(ctx.poly.dimub,
+                            ctx.dimswk + (hoist_bits + ctx.logp_prime - 1)
+                            // ctx.logp_prime)
 
     # ------------------------------------------------------------------
     # width helpers
@@ -208,9 +216,11 @@ class CKKS:
         swkp0_ints = [(-c + int(ei) + ctx.P * spi) % PqL
                       for c, ei, spi in zip(prod_ints, e, sp_ints)]
         swkp0 = jnp.asarray(bigint.ints_to_limbs(swkp0_ints, k_big))
-        # NTT-resident storage over the dimswk basis (ref: src/he-kem.c:103-110)
-        p0hat = self.ring.fwd_ntt(swkp0, ctx.dimswk)
-        p1hat = self.ring.fwd_ntt(swkp1, ctx.dimswk)
+        # NTT-resident storage over the dimswk basis (ref: src/he-kem.c:103-110),
+        # extended by the hoisting margin (extra primes of the same integer
+        # representatives — classic ops slice [:dim_s] and are unaffected)
+        p0hat = self.ring.fwd_ntt(swkp0, self.dimswk_h)
+        p1hat = self.ring.fwd_ntt(swkp1, self.dimswk_h)
         return SwitchKey(p0hat=p0hat, p1hat=p1hat)
 
     def genrlk(self, sk: SecretKey) -> SwitchKey:
@@ -624,3 +634,90 @@ class CKKS:
         d1 = self.ring.galois(ct.c1, r, qb)
         c0, c1 = self._apply_swk(d0, d1, rk[r], ct.l)
         return Ciphertext(l=ct.l, nu=ct.nu, B=ct.B, c0=c0, c1=c1)
+
+    # ------------------------------------------------------------------
+    # hoisted rotations (Halevi–Shoup double hoisting)
+    # ------------------------------------------------------------------
+
+    def dim_hoist(self, l: int, nu_sum: float) -> int:
+        """Extended-basis size covering the hoisted |c1|*|pt|*n1*|ek|
+        accumulation (the classic relin bound of ctx.dim_swk grown by the
+        plaintext-sum magnitude)."""
+        import math
+        ctx = self.ctx
+        bits = (self.qbits(l) + math.log2(max(nu_sum, 1.0))
+                + ctx.PqL.bit_length() + ctx.poly.logn)
+        return int(bits // ctx.logp_prime + 1)
+
+    def hoisted_gemv_fn(self, l: int, n1: int, n2: int, dims_h: int,
+                        dimc: int):
+        """Jitted BSGS-gemv inner stage with double hoisting.
+
+        The reference's gemv does a FULL key switch per baby-step rotation
+        (ref: src/he-algo.c:63-85: he_rot + he_ecd + he_mulpt per (i,j)).
+        Here c1 is decomposed+NTT'd ONCE in the extended basis; each
+        rotation is an NTT-domain index permutation (ops/ntt.py
+        ntt_galois_perm) followed by pointwise multiplies with the
+        pre-NTT'd diagonal plaintext and rotation key, accumulated in the
+        extended basis; ONE divide-round per giant step i.  Exact up to the
+        divide-round of the sum (a strictly smaller rounding error than the
+        classic sum of n1 divide-rounds).
+
+        f(c0, c1, ptx [n2,n1,dims_h,n], ptb [n2,n1,dimc,n],
+          rk0, rk1 [n1,>=dims_h,n]) -> (c0s [n2,n,klv], c1s [n2,n,klv])
+        """
+        ctx = self.ctx
+        qb = self.qbits(l)
+        klv = self.kl(l)
+        key = ("hoistgemv", l, n1, n2, dims_h, dimc)
+
+        def build():
+            assert self.ring.ntt_impl in ("butterfly", "pallas"), \
+                "hoisted rotations need the butterfly NTT-domain ordering"
+            assert dims_h <= self.dimswk_h, \
+                (f"hoist basis {dims_h} exceeds switch-key limbs "
+                 f"{self.dimswk_h}; raise hoist_bits at engine construction")
+            self.ring.prepare(dims_h, folds=(1, 2))
+            self.ring.prepare(dimc, folds=(1,))
+            bas = self.ring.ba(dims_h)
+            r2s = jnp.array(ctx.poly.basis(dims_h).r2)
+            ws = self.ring.weights(dims_h, klv)
+            bac = self.ring.ba(dimc)
+            planc = self.ring.recon(dimc)
+            r2c = jnp.array(ctx.poly.basis(dimc).r2)
+            wc = self.ring.weights(dimc, klv)
+            ks_pair = self._keyswitch_core(dims_h, l)
+            from ..ops.ntt import ntt_galois_perm
+            perms = [jnp.asarray(ntt_galois_perm(ctx.poly.logn, j))
+                     for j in range(n1)]
+
+            @jax.jit
+            def f(c0, c1, ptx, ptb, rk0, rk1):
+                ps = bas.ps[:, None]
+                pvs = bas.pinv[:, None]
+                pc = bac.ps[:, None]
+                pvc = bac.pinv[:, None]
+                c1h = self.ring.ntt_f(rns_ops.decompose(c1, bas, ws), dims_h)
+                c0h = self.ring.ntt_f(rns_ops.decompose(c0, bac, wc), dimc)
+                c1p = [c1h[:, perms[j]] for j in range(n1)]
+                c0p = [c0h[:, perms[j]] for j in range(n1)]
+                out0, out1 = [], []
+                for i in range(n2):
+                    acc0 = acc1 = accb = None
+                    for j in range(n1):
+                        t = mulmod(c1p[j], ptx[i, j], ps, pvs, r2s[:, None])
+                        u0 = mulmod(t, rk0[j, :dims_h], ps, pvs, r2s[:, None])
+                        u1 = mulmod(t, rk1[j, :dims_h], ps, pvs, r2s[:, None])
+                        b = mulmod(c0p[j], ptb[i, j], pc, pvc, r2c[:, None])
+                        acc0 = u0 if acc0 is None else addmod(acc0, u0, ps)
+                        acc1 = u1 if acc1 is None else addmod(acc1, u1, ps)
+                        accb = b if accb is None else addmod(accb, b, pc)
+                    k0, k1 = ks_pair(acc0, acc1)
+                    res = self.ring.ntt_i(accb, dimc)
+                    db = rns_ops.reconstruct(res, bac, planc, center=True)
+                    db = lb.resize(lb.mask_bits(db, qb), klv)
+                    out0.append(lb.mask_bits(lb.add(k0, db), qb))
+                    out1.append(k1)
+                return jnp.stack(out0), jnp.stack(out1)
+            return f
+        return self._cached(key, build)

@@ -167,3 +167,35 @@ def test_cmp(eng, keys):
     got = eng.dcd(eng.dec(out, sk)).real
     expect = np.array([1.0, 0.0, 1.0, 0.0])
     assert np.all(np.abs(np.round(got) - expect) == 0)
+
+
+def test_gemv_hoisted(eng, keys):
+    """Double-hoisted gemv agrees with the classic path and the plaintext
+    oracle (one key switch per giant step; CKKS.hoisted_gemv_fn)."""
+    from gpqhe_tpu.algo.linalg import HoistedGemvPlan
+
+    e, pk, sk, rlk, ck, rk = eng, *keys
+    slots = e.ctx.slots
+    rng = np.random.default_rng(17)
+    A = (rng.standard_normal(slots * slots)
+         + 1j * rng.standard_normal(slots * slots)) * 0.3
+    m = smp.sample_z01vec(e.rng, slots)
+    ct = e.enc_pk(e.ecd(m), pk)
+    ref = A.reshape(slots, slots) @ m
+    plan = HoistedGemvPlan(e, A)
+    got = e.dcd(e.dec(linalg.gemv(e, A, ct, rk, plan=plan, hoisted=True), sk))
+    assert np.max(np.abs(got - ref)) < 1e-5
+    classic = e.dcd(e.dec(linalg.gemv(e, A, ct, rk), sk))
+    assert np.max(np.abs(got - classic)) < 1e-5
+    # plan reuse: second call hits the cached per-level pack
+    got2 = e.dcd(e.dec(linalg.gemv(e, A, ct, rk, plan=plan, hoisted=True), sk))
+    assert np.max(np.abs(got2 - ref)) < 1e-5
+
+
+def test_sum_hoisted(eng, keys):
+    e, pk, sk, rlk, ck, rk = eng, *keys
+    slots = e.ctx.slots
+    m = smp.sample_z01vec(e.rng, slots)
+    ct = e.enc_pk(e.ecd(m), pk)
+    got = e.dcd(e.dec(linalg.he_sum(e, ct, rk, hoisted=True), sk))
+    assert abs(got[0] - m.sum()) < 1e-5
