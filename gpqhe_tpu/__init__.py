@@ -13,3 +13,6 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 from .context import HeContext, PolyContext  # noqa: E402,F401
+from .scheme.engine import CKKS  # noqa: E402,F401
+from .scheme.types import (  # noqa: E402,F401
+    Ciphertext, Plaintext, PublicKey, SecretKey, SwitchKey)

@@ -15,7 +15,7 @@ from contextlib import contextmanager
 import numpy as np
 
 from .. import params
-from ..algo.linalg import GemvPlan, gemv
+from ..algo.linalg import GemvPlan, HoistedGemvPlan, gemv
 from ..algo.nonlinear import he_exp
 from ..scheme.engine import CKKS
 from ..scheme.types import Ciphertext, SwitchKey
@@ -56,11 +56,11 @@ class BootstrapContext:
         self.U0_conjT = np.conj(U0.T).reshape(-1)
         self.U1_conjT = np.conj(U1.T).reshape(-1)
         self.eng = eng
-        self._plans: dict[str, GemvPlan] = {}
+        self._plans: dict[str, GemvPlan] = {}  # hoisted when margin allows
 
     def plan(self, name: str) -> GemvPlan:
         if name not in self._plans:
-            self._plans[name] = GemvPlan(self.eng, getattr(self, name))
+            self._plans[name] = HoistedGemvPlan(self.eng, getattr(self, name))
         return self._plans[name]
 
 
@@ -109,11 +109,11 @@ def coeff2slot(eng: CKKS, bctx: BootstrapContext, ct: Ciphertext,
     and uses 1/n where the sparse-packing normalizer is 1/(2 slots))."""
     pt = eng.const_pt(1.0 / (2 * eng.ctx.slots))
     ct_conj = eng.conj(ct.copy(), ck)
-    ct0 = gemv(eng, None, ct, rk, plan=bctx.plan("U0_conjT"))
-    ct1 = gemv(eng, None, ct_conj, rk, plan=bctx.plan("U0_T"))
+    ct0 = gemv(eng, None, ct, rk, plan=bctx.plan("U0_conjT"), hoisted=True)
+    ct1 = gemv(eng, None, ct_conj, rk, plan=bctx.plan("U0_T"), hoisted=True)
     ct_real = eng.rs(eng.mulpt(eng.add(ct0, ct1), pt))
-    ct0 = gemv(eng, None, ct, rk, plan=bctx.plan("U1_conjT"))
-    ct1 = gemv(eng, None, ct_conj, rk, plan=bctx.plan("U1_T"))
+    ct0 = gemv(eng, None, ct, rk, plan=bctx.plan("U1_conjT"), hoisted=True)
+    ct1 = gemv(eng, None, ct_conj, rk, plan=bctx.plan("U1_T"), hoisted=True)
     ct_imag = eng.rs(eng.mulpt(eng.add(ct0, ct1), pt))
     return ct_real, ct_imag
 
@@ -121,8 +121,8 @@ def coeff2slot(eng: CKKS, bctx: BootstrapContext, ct: Ciphertext,
 def slot2coeff(eng: CKKS, bctx: BootstrapContext, ct0: Ciphertext,
                ct1: Ciphertext, rk: dict[int, SwitchKey]) -> Ciphertext:
     """ct = U0 ct0 + U1 ct1 (ref: src/he-bootstrap.c:414-437)."""
-    u0 = gemv(eng, None, ct0, rk, plan=bctx.plan("U0"))
-    u1 = gemv(eng, None, ct1, rk, plan=bctx.plan("U1"))
+    u0 = gemv(eng, None, ct0, rk, plan=bctx.plan("U0"), hoisted=True)
+    u1 = gemv(eng, None, ct1, rk, plan=bctx.plan("U1"), hoisted=True)
     return eng.add(u0, u1)
 
 

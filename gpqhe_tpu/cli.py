@@ -27,7 +27,8 @@ NONLINEAR_OPS = ("exp", "log", "sigmoid", "inv", "sqrt", "cmp", "rlsin")
 
 def set_params(op: str, args: list[str]) -> dict:
     """Default parameter selection (ref: tests/gpqhe.c:1277-1345)."""
-    p = dict(logn=14, logq=438, slots=16, logDelta=50, iter=5, alpha=2, idx=0)
+    p = dict(logn=14, logq=438, slots=16, logDelta=50, iter=5, alpha=2, idx=0,
+             impl="butterfly")
     if op in NONLINEAR_OPS or op in ("coeff2slot", "bootstrap"):
         p.update(slots=4, logDelta=30)
     if op == "sqrt":
@@ -38,6 +39,8 @@ def set_params(op: str, args: list[str]) -> dict:
         for key in ("logn", "logq", "slots", "logDelta", "iter", "alpha", "idx"):
             if a.startswith(f"--{key}="):
                 p[key] = int(a.split("=", 1)[1])
+        if a.startswith("--impl="):
+            p["impl"] = a.split("=", 1)[1]
     return p
 
 
@@ -52,7 +55,8 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] not in OPS:
         print(f"usage: python -m gpqhe_tpu <{'/'.join(OPS)}> [sk/pk] "
-              f"--logn=num --logq=num --slots=num --logDelta=num --iter=num")
+              f"--logn=num --logq=num --slots=num --logDelta=num --iter=num "
+              f"--impl=butterfly|matmul|pallas")
         return 1
     op = argv[0]
     key = argv[1] if len(argv) > 1 and argv[1] in ("sk", "pk") else "sk"
@@ -67,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     ctx = HeContext(p["logn"], 1 << p["logq"], p["slots"], 1 << p["logDelta"])
-    eng = CKKS(ctx, rng=Surf())
+    eng = CKKS(ctx, rng=Surf(), ntt_impl=p["impl"])
     show_ctx_params(ctx)
     m0 = smp.sample_z01vec(eng.rng, ctx.slots)
 

@@ -177,7 +177,8 @@ class RingEngine:
     def _cached(self, key, builder):
         if key not in self._jit:
             self._jit[key] = builder()
-        return self._jit[key]
+        from ..utils import trace
+        return trace.maybe_wrap(key, self._jit[key])
 
     # -- decompose variants -------------------------------------------------
 

@@ -74,7 +74,8 @@ class CKKS:
     def _cached(self, key, builder):
         if key not in self._jit:
             self._jit[key] = builder()
-        return self._jit[key]
+        from ..utils import trace
+        return trace.maybe_wrap(key, self._jit[key])
 
     # ------------------------------------------------------------------
     # encode / decode (host <-> device boundary)
@@ -512,6 +513,39 @@ class CKKS:
         nu = ct1.nu * ct2.nu
         B = ct1.nu * ct2.B + ct2.nu * ct1.B + ct1.B * ct2.B + ctx.bounds.Bmult[l]
         return Ciphertext(l=l, nu=nu, B=B, c0=c0, c1=c1)
+
+    def mul_rs(self, ct1: Ciphertext, ct2: Ciphertext,
+               rlk: SwitchKey) -> Ciphertext:
+        """Fused multiply+relinearize+rescale: the mult+rescale workhorse as
+        ONE jitted program (the rescale shift+round rides the mul output
+        instead of a separate dispatch + HBM roundtrip)."""
+        assert ct1.l == ct2.l
+        ctx = self.ctx
+        l = ct1.l
+        lnew = l - 1
+        qbn = self.qbits(lnew)
+        kln = self.kl(lnew)
+        logD = ctx.p.bit_length() - 1
+        key = ("he_mul_rs", l)
+
+        def build():
+            mul_f = self.mul_step_fn(l)
+
+            @jax.jit
+            def f(c10, c11, c20, c21, ek0, ek1):
+                c0, c1 = mul_f(c10, c11, c20, c21, ek0, ek1)
+
+                def rs1(x):
+                    return lb.resize(
+                        lb.mask_bits(lb.rshift_round(x, logD), qbn), kln)
+                return rs1(c0), rs1(c1)
+            return f
+        f = self._cached(key, build)
+        c0, c1 = f(ct1.c0, ct1.c1, ct2.c0, ct2.c1, rlk.p0hat, rlk.p1hat)
+        nu = ct1.nu * ct2.nu
+        B = ct1.nu * ct2.B + ct2.nu * ct1.B + ct1.B * ct2.B + ctx.bounds.Bmult[l]
+        return Ciphertext(l=lnew, nu=nu / ctx.Delta,
+                          B=B / ctx.Delta + ctx.bounds.Brs, c0=c0, c1=c1)
 
     def mulpt(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
         """Plaintext product (ref: src/he-mult.c:159-196)."""

@@ -138,3 +138,18 @@ def test_rot_all(eng, keys):
         ctr = eng.rot(ct0.copy(), r, rk)
         expect = np.concatenate([m0[r:], m0[:r]])
         assert dist(eng.dcd(eng.dec(ctr, sk)), expect) < TOL
+
+
+def test_mul_rs_fused(eng, keys):
+    """Fused mul_rs == mul followed by rs, bit-for-bit."""
+    pk, sk, rlk, ck, rk = keys
+    import jax.numpy as jnp
+    m1 = smp.sample_z01vec(eng.rng, eng.ctx.slots)
+    m2 = smp.sample_z01vec(eng.rng, eng.ctx.slots)
+    ct1 = eng.enc_pk(eng.ecd(m1), pk)
+    ct2 = eng.enc_pk(eng.ecd(m2), pk)
+    sep = eng.rs(eng.mul(ct1, ct2, rlk))
+    fus = eng.mul_rs(ct1, ct2, rlk)
+    assert fus.l == sep.l
+    assert jnp.array_equal(fus.c0, sep.c0)
+    assert jnp.array_equal(fus.c1, sep.c1)

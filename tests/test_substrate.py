@@ -81,3 +81,31 @@ def test_native_substrate_matches_numpy():
     for msg in [b"", b"abc", b"q" * 300]:
         assert nat.shake(168, 0x1F, msg, 64) == hashlib.shake_128(msg).digest(64)
         assert nat.shake(136, 0x06, msg, 32) == hashlib.sha3_256(msg).digest()
+
+
+def test_op_trace():
+    """Per-op tracing counts jitted program invocations (SURVEY.md §5:
+    the libpmu-role instrumentation)."""
+    import numpy as np
+
+    from gpqhe_tpu.context import HeContext
+    from gpqhe_tpu.ring import sample as smp
+    from gpqhe_tpu.scheme.engine import CKKS
+    from gpqhe_tpu.substrate.surf import Surf
+    from gpqhe_tpu.utils import trace
+
+    ctx = HeContext(logn=5, q=1 << 100, slots=4, Delta=1 << 30)
+    eng = CKKS(ctx, rng=Surf())
+    pk, sk = eng.keypair()
+    rlk = eng.genrlk(sk)
+    m = smp.sample_z01vec(eng.rng, 4)
+    ct = eng.enc_pk(eng.ecd(m), pk)
+    with trace.op_trace() as t:
+        out = eng.rs(eng.mul(ct, ct, rlk))
+    assert t.counts.get("he_mul") == 1
+    assert t.counts.get("rs") == 2  # c0 and c1 run the same cached program
+    rep = t.report()
+    assert "he_mul" in rep and "ms/call" in rep
+    # inactive -> untouched callables, and results still correct
+    got = eng.dcd(eng.dec(out, sk))
+    assert np.max(np.abs(got - m * m)) < 1e-5

@@ -60,9 +60,22 @@ def main():
     log(f"rescale latency: {t*1e3:.2f} ms")
     log(f"mult+rescale total: {(sec+t)*1e3:.2f} ms")
 
+    # fused single-program mult+rescale
+    for _ in range(2):
+        ctf = eng.mul_rs(ct1, ct2, rlk)
+    ctf.c0.block_until_ready()
+    import time as _t
+    t1 = _t.time()
+    for _ in range(10):
+        ctf = eng.mul_rs(ct1, ct2, rlk)
+    ctf.c0.block_until_ready()
+    log(f"fused mul_rs: {(_t.time()-t1)/10*1e3:.2f} ms")
+
     # correctness
     out = eng.dcd(eng.dec(eng.rs(ctm), sk))
     log(f"correctness: max diff {np.max(np.abs(out - m*m*0.5)):.3g}")
+    outf = eng.dcd(eng.dec(ctf, sk))
+    log(f"fused correctness: max diff {np.max(np.abs(outf - m*m*0.5)):.3g}")
 
 
 if __name__ == "__main__":
