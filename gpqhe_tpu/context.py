@@ -350,8 +350,15 @@ class HeContext:
     # --- dim formulas used at each call site -------------------------------
 
     def dim_dec(self, l: int) -> int:
-        """Decrypt dim (ref: src/he-encrypt.c:113)."""
-        return self.q[l].bit_length() // self.logp_prime + 1
+        """Decrypt dim.
+
+        DIVERGES from the reference's nbits(q)/59+1 (ref: src/he-encrypt.c:113),
+        which leaves only (59 - qbits%59) bits of CRT headroom for the c1*s
+        product — the hwt secret makes |c1*s| up to h*q (h <= n/2), so at
+        levels where qbits%59 >= 54 the lift overflows and decryption is
+        garbage (observed at logq=800 ladders, level qbits=471).  The +logn
+        term covers log2(h)+1 at every ring size."""
+        return (self.q[l].bit_length() + self.poly.logn) // self.logp_prime + 1
 
     def dim_mul(self, l: int) -> int:
         """Ciphertext multiply dim (ref: src/he-mult.c:99)."""
@@ -363,9 +370,10 @@ class HeContext:
                 + self.poly.logn) // self.logp_prime + 1
 
     def dim_mulpt(self, l: int, nu: float) -> int:
-        """Plaintext multiply dim (ref: src/he-mult.c:168)."""
+        """Plaintext multiply dim (ref: src/he-mult.c:168; +1 bit so the
+        fractional log2(nu) cannot eat the centered-lift sign bit)."""
         return int((self.q[l].bit_length() + math.log2(max(nu, 1.0))
-                    + self.poly.logn) // self.logp_prime + 1)
+                    + self.poly.logn + 1) // self.logp_prime + 1)
 
     def dim_keygen(self) -> int:
         """Keypair / enc dim (ref: src/he-kem.c:59, he-encrypt.c:58)."""

@@ -680,7 +680,7 @@ class CKKS:
         import math
         ctx = self.ctx
         bits = (self.qbits(l) + math.log2(max(nu_sum, 1.0))
-                + ctx.PqL.bit_length() + ctx.poly.logn)
+                + ctx.PqL.bit_length() + ctx.poly.logn + 1)
         return int(bits // ctx.logp_prime + 1)
 
     def hoisted_gemv_fn(self, l: int, n1: int, n2: int, dims_h: int,
