@@ -56,8 +56,15 @@ def gemv(eng: CKKS, A, ct: Ciphertext, rk: dict[int, SwitchKey],
     hoisted=True uses double-hoisted rotations (one key switch per giant
     step instead of per baby step — CKKS.hoisted_gemv_fn)."""
     if hoisted:
-        hplan = plan if isinstance(plan, HoistedGemvPlan) \
-            else HoistedGemvPlan(eng, A)
+        if isinstance(plan, HoistedGemvPlan):
+            hplan = plan
+        elif A is None:
+            raise ValueError(
+                "gemv(hoisted=True) needs a HoistedGemvPlan when A is None "
+                "(a plain GemvPlan cannot be used; rebuild with "
+                "HoistedGemvPlan(eng, A))")
+        else:
+            hplan = HoistedGemvPlan(eng, A)
         return gemv_hoisted(eng, hplan, ct, rk)
     if plan is None:
         plan = GemvPlan(eng, A)
@@ -82,55 +89,77 @@ class HoistedGemvPlan(GemvPlan):
         self._packs: dict[int, tuple] = {}
         self._rk_stacks: dict[int, tuple] = {}
 
-    def pack(self, eng: CKKS, l: int):
-        """(ptx, ptb, dims_h, dimc, nu_max) for level l (device arrays,
-        built OUTSIDE jit)."""
+    def bound_max(self) -> float:
+        """Basis-sizing coefficient bound over all diagonals (size_bound, not
+        nu: encoded coefficients can exceed nu for messages > 1 — mirroring
+        mulpt's dim_mulpt(l, pt.size_bound) sizing)."""
+        return max(pt.size_bound for pt in self.pts.values())
+
+    def dims(self, eng: CKKS, l: int):
+        """(dims_h, dimc, nu_max) for level l."""
+        nu_max = max(pt.nu for pt in self.pts.values())
+        bnd = self.bound_max()
+        return (eng.dim_hoist(l, bnd * self.n1),
+                eng.ctx.dim_mulpt(l, bnd * self.n1), nu_max)
+
+    def pack_slab(self, eng: CKKS, l: int, i: int):
+        """(ptx_i [n1, dims_h, n], ptb_i [n1, dimc, n]) — the pre-NTT'd
+        diagonal plaintexts of giant step i at level l, built lazily OUTSIDE
+        jit so peak memory during a streamed gemv is one slab, and cached
+        for plan reuse."""
         import jax.numpy as jnp
-        if l not in self._packs:
-            nu_max = max(pt.nu for pt in self.pts.values())
-            dims_h = eng.dim_hoist(l, nu_max * self.n1)
-            dimc = eng.ctx.dim_mulpt(l, nu_max * self.n1)
+        key = (l, i)
+        if key not in self._packs:
+            dims_h, dimc, _ = self.dims(eng, l)
+
             def tab(dim):
-                rows = []
-                for i in range(self.n2):
-                    rows.append(jnp.stack([
-                        eng.ring.fwd_ntt(self.pts[(i, j)].m, dim,
-                                         signed_bits=self.pts[(i, j)].mod_bits)
-                        for j in range(self.n1)]))
-                return jnp.stack(rows)
-            self._packs[l] = (tab(dims_h), tab(dimc), dims_h, dimc, nu_max)
-        return self._packs[l]
+                return jnp.stack([
+                    eng.ring.fwd_ntt(self.pts[(i, j)].m, dim,
+                                     signed_bits=self.pts[(i, j)].mod_bits)
+                    for j in range(self.n1)])
+            self._packs[key] = (tab(dims_h), tab(dimc))
+        return self._packs[key]
 
     def rk_stack(self, rk: dict[int, SwitchKey]):
         import jax.numpy as jnp
-        key = id(rk)
+        # key on the SwitchKey objects (not the dict container, whose id can
+        # be reused after GC) and hold strong refs so the ids stay valid
+        keys = tuple(rk[j] for j in range(self.n1))
+        key = tuple(id(k) for k in keys)
         if key not in self._rk_stacks:
             self._rk_stacks[key] = (
-                jnp.stack([rk[j].p0hat for j in range(self.n1)]),
-                jnp.stack([rk[j].p1hat for j in range(self.n1)]))
-        return self._rk_stacks[key]
+                keys,
+                jnp.stack([k.p0hat for k in keys]),
+                jnp.stack([k.p1hat for k in keys]))
+        return self._rk_stacks[key][1:]
 
 
 def gemv_hoisted(eng: CKKS, plan: HoistedGemvPlan, ct: Ciphertext,
                  rk: dict[int, SwitchKey]) -> Ciphertext:
-    """Double-hoisted BSGS gemv: one key switch per giant step."""
+    """Double-hoisted BSGS gemv: one key switch per giant step.
+
+    Streams one plaintext slab per giant step through ONE jitted step
+    program (lax.scan over baby steps inside), so compile time and device
+    memory stay flat as slots grow."""
     l = ct.l
-    nu_max = max(pt.nu for pt in plan.pts.values())
-    if (eng.dim_hoist(l, nu_max * plan.n1) > eng.dimswk_h
+    if (eng.dim_hoist(l, plan.bound_max() * plan.n1) > eng.dimswk_h
             or eng.ring.ntt_impl == "matmul"):
         # plaintext scale exceeds the switch-key hoisting margin (or the
         # backend's NTT ordering has no permutation tables) — classic path
         return gemv(eng, None, ct, rk, plan=plan)
-    ptx, ptb, dims_h, dimc, nu_max = plan.pack(eng, l)
+    dims_h, dimc, nu_max = plan.dims(eng, l)
     rk0, rk1 = plan.rk_stack(rk)
-    f = eng.hoisted_gemv_fn(l, plan.n1, plan.n2, dims_h, dimc)
-    out0, out1 = f(ct.c0, ct.c1, ptx, ptb, rk0, rk1)
+    prep = eng.hoisted_gemv_prep_fn(l, plan.n1, dims_h, dimc)
+    step = eng.hoisted_gemv_step_fn(l, dims_h, dimc)
+    c1p, c0p = prep(ct.c0, ct.c1)
     # ledger mirrors the classic composition: mulpt (nu*=, B*=) then adds
     nu_i = ct.nu * nu_max
     B_i = plan.n1 * ct.B * nu_max
     outer = None
     for i in range(plan.n2):
-        inner = Ciphertext(l=l, nu=nu_i, B=B_i, c0=out0[i], c1=out1[i])
+        ptx_i, ptb_i = plan.pack_slab(eng, l, i)
+        out0, out1 = step(c1p, c0p, ptx_i, ptb_i, rk0, rk1)
+        inner = Ciphertext(l=l, nu=nu_i, B=B_i, c0=out0, c1=out1)
         if i:
             inner = eng.rot(inner, i * plan.n1, rk)
         outer = inner if outer is None else eng.add(outer, inner)

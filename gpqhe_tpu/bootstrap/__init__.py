@@ -10,6 +10,7 @@ the correct scale 1.0/n is used here (SURVEY.md §3.5)."""
 
 from __future__ import annotations
 
+import math
 from contextlib import contextmanager
 
 import numpy as np
@@ -64,6 +65,42 @@ class BootstrapContext:
         return self._plans[name]
 
 
+def subsum_rotations(ctx) -> list[int]:
+    """Rotation indices the SubSum trace ladder needs: slots * 2^j."""
+    gap = (ctx.poly.n // 2) // ctx.slots
+    return [ctx.slots << j for j in range(int(math.log2(gap)))]
+
+
+def bootstrap_rotations(ctx) -> list[int]:
+    """All rotation-key indices bootstrap uses: the BSGS gemv rotations
+    [0, slots) plus the SubSum ladder.  Pass to CKKS.genrk."""
+    return sorted(set(range(ctx.slots)) | set(subsum_rotations(ctx)))
+
+
+def subsum(eng: CKKS, ct: Ciphertext, rk: dict[int, SwitchKey]) -> Ciphertext:
+    """Trace projection onto the sparse-packing coefficient sublattice.
+
+    At sparse packing (gap = n/(2*slots) > 1) a modulus-raised ciphertext
+    carries q_src*I wrap terms at EVERY coefficient; the off-lattice ones are
+    invisible to decode and to coeff2slot's slot view, but EvalSin's squarings
+    fold (off-lattice)^2 back onto the lattice and destroy the message (the
+    round-1 bootstrap failure).  Summing the gap Galois automorphisms
+    sigma_{5^(slots*i)} (the subgroup fixing Z[X^gap] pointwise: 5^(slots*i)
+    == 1 mod 4*slots) kills every off-lattice monomial (field trace of
+    Q(zeta_2n)/Q(zeta_{4*slots})) and multiplies lattice coefficients by gap
+    — the log2(gap)-step doubling ladder below is the standard HEAAN sparse
+    bootstrapping SubSum.  This also explains the reference's (integer-
+    division-bugged) 1/n normalizer in he_coeff2slot: 1/n = 1/(2*slots*gap)
+    (ref: src/he-bootstrap.c:385-386); without SubSum the reference pipeline
+    is only sound at full packing, and its end-to-end bootstrap test is a
+    stub (ref: tests/gpqhe.c:1259-1275)."""
+    ctx = eng.ctx
+    gap = (ctx.poly.n // 2) // ctx.slots
+    for j in range(int(math.log2(gap))):
+        ct = eng.add(ct, eng.rot(ct.copy(), ctx.slots << j, rk))
+    return ct
+
+
 @contextmanager
 def raised_delta(eng: CKKS, new_delta: float):
     """Temporarily raise the metadata scaling factor, like the reference's
@@ -104,10 +141,16 @@ def raise_modulus(eng: CKKS, ct: Ciphertext, nu: float | None = None) -> Ciphert
 
 def coeff2slot(eng: CKKS, bctx: BootstrapContext, ct: Ciphertext,
                ck: SwitchKey, rk: dict[int, SwitchKey]) -> tuple[Ciphertext, Ciphertext]:
-    """ct_real/imag = (U^dag ct +- U^T conj(ct)) / (2 slots)
-    (ref: src/he-bootstrap.c:358-408 — which writes integer 1/n == 0, a bug,
-    and uses 1/n where the sparse-packing normalizer is 1/(2 slots))."""
-    pt = eng.const_pt(1.0 / (2 * eng.ctx.slots))
+    """ct_real/imag = (U^dag ct' +- U^T conj(ct')) / n with ct' = SubSum(ct)
+    (ref: src/he-bootstrap.c:358-408 — which writes integer 1/n == 0, a bug;
+    the 1/n = 1/(2*slots*gap) normalizer absorbs SubSum's gap factor, see
+    subsum()).  Valid for ANY input polynomial, including modulus-raised
+    ciphertexts with full-support wrap terms.  At full packing (gap=1) the
+    SubSum is empty and this reduces to the reference's construction.
+    Requires rk to hold bootstrap_rotations(ctx)."""
+    gap = (eng.ctx.poly.n // 2) // eng.ctx.slots
+    ct = subsum(eng, ct, rk)
+    pt = eng.const_pt(1.0 / (2 * eng.ctx.slots * gap))
     ct_conj = eng.conj(ct.copy(), ck)
     ct0 = gemv(eng, None, ct, rk, plan=bctx.plan("U0_conjT"), hoisted=True)
     ct1 = gemv(eng, None, ct_conj, rk, plan=bctx.plan("U0_T"), hoisted=True)
@@ -187,7 +230,6 @@ def bootstrap(eng: CKKS, bctx: BootstrapContext, ct: Ciphertext,
         ce_neg = eng.conj(ce.copy(), ck)
         diff = eng.sub(ce, ce_neg)           # 2i sin(2pi t / q_src)
         # divide by 2i and by (2 pi / q_src): output message ~ (t mod q_src)/Delta
-        b = 1.0 / (2j * 2 * params.PI * ctx.Delta / q_src) / ctx.Delta * ctx.Delta
         b = q_src / (4j * params.PI * ctx.Delta)
         ptb = eng.ecd(np.full(ctx.slots, b, dtype=np.complex128))
         return eng.rs(eng.mulpt(diff, ptb))

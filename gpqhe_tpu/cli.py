@@ -33,6 +33,13 @@ def set_params(op: str, args: list[str]) -> dict:
         p.update(slots=4, logDelta=30)
     if op == "sqrt":
         p["iter"] = 6
+    if op == "bootstrap":
+        # EvalSin range: 2^iter >~ 4*pi*(h/2+1), h=64 -> iter=9; the
+        # pipeline consumes 10+iter levels, beyond logn=14's security-table
+        # ladder (logq<=438, L=14 at Delta=2^30) — bootstrap needs the
+        # logn=15 / logq=881 regime (L=29, q_0=2^11; the reference's cmp
+        # config, ref: tests/gpqhe.c:1317-1322).
+        p.update(iter=9, logn=15, logq=881)
     if op == "cmp":
         p.update(logn=15, logq=881, slots=4, logDelta=30, iter=5, alpha=2)
     for a in args:
@@ -99,7 +106,11 @@ def main(argv: list[str] | None = None) -> int:
         print("done.")
     if need_rk:
         print("Generating rk ... ", end="", flush=True)
-        rk = eng.genrk(sk)
+        if op in ("coeff2slot", "bootstrap"):
+            from . import bootstrap as _bs
+            rk = eng.genrk(sk, _bs.bootstrap_rotations(ctx))
+        else:
+            rk = eng.genrk(sk)
         print("done.")
 
     ct = enc(eng.ecd(m0))

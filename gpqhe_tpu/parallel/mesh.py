@@ -223,6 +223,209 @@ def make_he_mesh3(n_devices: int | None = None, limb: int = 1,
     return Mesh(mesh_devs, axis_names=("limb", "coeff", "batch"))
 
 
+def _pad_dim(dim: int, nlimb: int, dimub: int) -> int:
+    """Round a basis size up to a multiple of the limb-axis size (extra chain
+    primes only enlarge the CRT range — exactness is preserved)."""
+    p = ((dim + nlimb - 1) // nlimb) * nlimb
+    assert p <= dimub, (dim, nlimb, dimub)
+    return p
+
+
+def _recon_consts(pctx: PolyContext, dim_basis: int, dim_padded: int,
+                  prefix: str):
+    """(consts, specs) for a limb-sharded reconstruct_core over the first
+    dim_basis primes of a dim_padded-prime residue stack.  When dim_basis <
+    dim_padded (sub-basis reconstruction, e.g. r = c mod P in the key-switch
+    divide-round), the out-of-basis primes get phatinv = 0 so their digit and
+    alpha contributions vanish under the limb psum."""
+    plan = rns_ops.make_recon_plan(pctx, dim_basis)
+    b = pctx.basis(dim_basis)
+    phinv = np.zeros(dim_padded, dtype=np.uint64)
+    phinv[:dim_basis] = b.phatinv_mont
+    shift = rns_ops.phat_shift_table(plan)           # [4, dim_basis, ds]
+    shift_p = np.zeros((4, dim_padded, shift.shape[2]), dtype=np.float64)
+    shift_p[:, :dim_basis, :] = shift
+    inv_p = np.zeros(dim_padded, dtype=np.float64)
+    inv_p[:dim_basis] = plan.inv_p
+    consts = {
+        f"{prefix}_phinv": jnp.asarray(phinv),
+        f"{prefix}_shift": jnp.asarray(shift_p),
+        f"{prefix}_invp": jnp.asarray(inv_p),
+        f"{prefix}_negP16": jnp.asarray(plan.negP16.astype(np.float64)),
+        f"{prefix}_mmp": jnp.asarray(plan.MminusP_limbs),
+        f"{prefix}_plimbs": jnp.asarray(plan.P_limbs),
+        f"{prefix}_phalf": jnp.asarray(plan.Phalf_limbs),
+    }
+    specs = {
+        f"{prefix}_phinv": P("limb"),
+        f"{prefix}_shift": P(None, "limb", None),
+        f"{prefix}_invp": P("limb"),
+        f"{prefix}_negP16": P(),
+        f"{prefix}_mmp": P(), f"{prefix}_plimbs": P(), f"{prefix}_phalf": P(),
+    }
+    return plan, consts, specs
+
+
+def _basis_consts(pctx: PolyContext, dim: int, k_in: int, S: int, prefix: str):
+    """(static plan, consts, specs) for a limb+coeff-sharded NTT basis."""
+    b = pctx.basis(dim)
+    cp = make_coeff_ntt_plan(pctx, dim, S)
+    splan = dict(S=S, L=cp["L"], logS=cp["logS"],
+                 f_lengths=cp["f_lengths"], i_lengths=cp["i_lengths"])
+    consts = {
+        f"{prefix}_ps": jnp.array(b.ps),
+        f"{prefix}_pinv": jnp.array(b.pinv_mont),
+        f"{prefix}_ninv": jnp.array(b.ninv_mont),
+        f"{prefix}_r2": jnp.array(b.r2),
+        f"{prefix}_w": jnp.asarray(rns_ops.make_decomp_weights(pctx, dim, k_in)),
+        f"{prefix}_zlf": jnp.asarray(cp["zl_f"]),
+        f"{prefix}_zli": jnp.asarray(cp["zl_i"]),
+        f"{prefix}_zcf": jnp.asarray(cp["zc_f"]),
+        f"{prefix}_zci": jnp.asarray(cp["zc_i"]),
+    }
+    specs = {
+        f"{prefix}_ps": P("limb"), f"{prefix}_pinv": P("limb"),
+        f"{prefix}_ninv": P("limb"), f"{prefix}_r2": P("limb"),
+        f"{prefix}_w": P("limb", None),
+        f"{prefix}_zlf": P("limb", "coeff", None),
+        f"{prefix}_zli": P("limb", "coeff", None),
+        f"{prefix}_zcf": P("limb", None, "coeff"),
+        f"{prefix}_zci": P("limb", None, "coeff"),
+    }
+    return splan, consts, specs
+
+
+def build_sharded_mul_rs(eng, l: int, mesh: Mesh):
+    """The north-star scheme op — fused ciphertext multiply + relinearize +
+    rescale (engine mul_rs) — sharded over the full (limb, coeff, batch) mesh.
+
+    Mirrors CKKS.mul_step_fn exactly (ref: src/he-mult.c:88-156 pipeline):
+      - cross terms d0/d1/d2 over the dim_mul basis: decompose + NTT local
+        per limb shard (the reference's d-loop, ref: src/he-mult.c:116-138),
+        coeff-axis ppermute block swaps inside each NTT, one limb-axis psum
+        per CRT reconstruct;
+      - relinearization over the dim_swk basis with the evk sharded
+        (limb = prime axis, coeff = NTT position axis);
+      - divide-round by P via the small-CRT remainder (a SECOND, sub-basis
+        psum with zero-masked out-of-basis primes), then the rescale
+        shift+round — all coefficient-local.
+
+    Returns fn(c10, c11, c20, c21) -> (c0, c1) for [B, n, klv] u32 inputs
+    (B over 'batch', n over 'coeff'), plus the evk is closed over (sliced
+    and device_put with the right sharding once at build time).
+
+    Bit-exact vs the single-device engine program (tests/test_parallel.py).
+    """
+    ctx = eng.ctx
+    pctx = ctx.poly
+    nlimb, S = mesh.shape["limb"], mesh.shape["coeff"]
+    qb, klv = eng.qbits(l), eng.kl(l)
+    qbn, kln = eng.qbits(l - 1), eng.kl(l - 1)
+    logD = ctx.p.bit_length() - 1
+    kq = eng.kq
+    dim_m = _pad_dim(ctx.dim_mul(l), nlimb, pctx.dimub)
+    dim_s = _pad_dim(ctx.dim_swk(l), nlimb, pctx.dimub)
+    assert dim_s <= eng.dimswk_h, \
+        (f"padded relin basis {dim_s} exceeds switch-key limbs "
+         f"{eng.dimswk_h}; raise hoist_bits at engine construction")
+    pinv16 = eng.pinv16
+    p_half_up = jnp.asarray(eng.p_half_up)
+    rk8 = eng.rk8
+
+    splan_m, cm, sm = _basis_consts(pctx, dim_m, klv, S, "m")
+    splan_s, cs, ss = _basis_consts(pctx, dim_s, klv, S, "s")
+    plan_mr, cmr, smr = _recon_consts(pctx, dim_m, dim_m, "mr")
+    plan_sr, csr, ssr = _recon_consts(pctx, dim_s, dim_s, "sr")
+    plan_8r, c8r, s8r = _recon_consts(pctx, ctx.dim, dim_s, "r8")
+
+    consts = {**cm, **cs, **cmr, **csr, **c8r}
+    specs = {**sm, **ss, **smr, **ssr, **s8r}
+
+    def kernel(c10, c11, c20, c21, ek0, ek1, C):
+        psm, pinvm = C["m_ps"][:, None], C["m_pinv"][:, None]
+        pss, pinvs = C["s_ps"][:, None], C["s_pinv"][:, None]
+
+        def fwd_m(x):
+            res = rns_ops.decompose_core(x, C["m_ps"], C["m_pinv"], C["m_w"])
+            return _ntt_coeff_sharded(res, C["m_zlf"], C["m_zcf"],
+                                      C["m_ps"], C["m_pinv"], splan_m, "coeff")
+        x0, x1, y0, y1 = fwd_m(c10), fwd_m(c11), fwd_m(c20), fwd_m(c21)
+        r2m = C["m_r2"][:, None]
+        d0h = mulmod(x0, y0, psm, pinvm, r2m)
+        d2h = mulmod(x1, y1, psm, pinvm, r2m)
+        d1h = addmod(mulmod(x0, y1, psm, pinvm, r2m),
+                     mulmod(x1, y0, psm, pinvm, r2m), psm)
+
+        def back_m(dh):
+            res = _intt_coeff_sharded(dh, C["m_zli"], C["m_zci"],
+                                      C["m_ps"], C["m_pinv"], C["m_ninv"],
+                                      splan_m, "coeff")
+            c = rns_ops.reconstruct_core(
+                res, C["m_ps"], C["m_pinv"], C["mr_phinv"], C["mr_shift"],
+                C["mr_invp"], C["mr_negP16"], C["mr_mmp"], C["mr_plimbs"],
+                C["mr_phalf"], ks=plan_mr.ks, dim_total=dim_m,
+                center=True, axis_name="limb")
+            return lb.resize(lb.mask_bits(c, qb), klv)
+        d0, d1, d2 = back_m(d0h), back_m(d1h), back_m(d2h)
+
+        # relinearize d2 over the padded dim_swk basis
+        res2 = rns_ops.decompose_core(d2, C["s_ps"], C["s_pinv"], C["s_w"])
+        d2hat = _ntt_coeff_sharded(res2, C["s_zlf"], C["s_zcf"],
+                                   C["s_ps"], C["s_pinv"], splan_s, "coeff")
+        r2s = C["s_r2"][:, None]
+        u0h = mulmod(d2hat, ek0, pss, pinvs, r2s)
+        u1h = mulmod(d2hat, ek1, pss, pinvs, r2s)
+
+        def ks_post(uh):
+            res = _intt_coeff_sharded(uh, C["s_zli"], C["s_zci"],
+                                      C["s_ps"], C["s_pinv"], C["s_ninv"],
+                                      splan_s, "coeff")
+            c = rns_ops.reconstruct_core(
+                res, C["s_ps"], C["s_pinv"], C["sr_phinv"], C["sr_shift"],
+                C["sr_invp"], C["sr_negP16"], C["sr_mmp"], C["sr_plimbs"],
+                C["sr_phalf"], ks=plan_sr.ks, dim_total=dim_s,
+                center=True, axis_name="limb")
+            r = rns_ops.reconstruct_core(
+                res, C["s_ps"], C["s_pinv"], C["r8_phinv"], C["r8_shift"],
+                C["r8_invp"], C["r8_negP16"], C["r8_mmp"], C["r8_plimbs"],
+                C["r8_phalf"], ks=plan_8r.ks, dim_total=ctx.dim,
+                center=False, axis_name="limb")
+            u = lb.mul_const_mod2k(lb.sub(lb.resize(c, kq), lb.resize(r, kq)),
+                                   pinv16, kq)
+            round_bit = lb.geq_const(lb.resize(r, rk8), p_half_up)
+            u = lb.add_scalar_bit(u, round_bit.astype(jnp.uint32))
+            return lb.resize(lb.mask_bits(u, qb), klv)
+        u0, u1 = ks_post(u0h), ks_post(u1h)
+        c0 = lb.mask_bits(lb.add(u0, d0), qb)
+        c1 = lb.mask_bits(lb.add(u1, d1), qb)
+
+        def rs1(x):
+            return lb.resize(lb.mask_bits(lb.rshift_round(x, logD), qbn), kln)
+        return rs1(c0), rs1(c1)
+
+    cnames = list(consts.keys())
+
+    def vkernel(a0, a1, b0, b1, ek0, ek1, *cs):
+        C = dict(zip(cnames, cs))
+        return jax.vmap(lambda w, x, y, z: kernel(w, x, y, z, ek0, ek1, C))(
+            a0, a1, b0, b1)
+
+    smapped = shard_map(
+        vkernel, mesh=mesh,
+        in_specs=(P("batch", "coeff", None),) * 4
+        + (P("limb", "coeff"), P("limb", "coeff"))
+        + tuple(specs[k] for k in cnames),
+        out_specs=(P("batch", "coeff", None), P("batch", "coeff", None)),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def f(c10, c11, c20, c21, ek0, ek1):
+        return smapped(c10, c11, c20, c21, ek0[:dim_s], ek1[:dim_s],
+                       *consts.values())
+    return f
+
+
 def build_sharded_poly_mul_3d(pctx: PolyContext, dim: int, k_in: int,
                               mask_to_bits: int, k_out: int, mesh: Mesh):
     """Negacyclic product sharded over the full (limb, coeff, batch) mesh.

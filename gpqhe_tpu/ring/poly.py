@@ -97,6 +97,10 @@ class RingEngine:
         if fold == P:
             return ntt_pallas(res, self.pallas_plan(dim, P), inverse)
         plan = self.pallas_plan(dim, fold)
+        if fold == 1:
+            # map over bare (dim, n) slices — ntt_pallas with plan.P == 1
+            # takes 2-D input (a (g, 1, dim, n) reshape would crash it)
+            return jax.lax.map(lambda x: ntt_pallas(x, plan, inverse), res)
         g = P // fold
         out = jax.lax.map(
             lambda x: ntt_pallas(x, plan, inverse),

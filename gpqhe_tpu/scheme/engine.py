@@ -683,27 +683,16 @@ class CKKS:
                 + ctx.PqL.bit_length() + ctx.poly.logn + 1)
         return int(bits // ctx.logp_prime + 1)
 
-    def hoisted_gemv_fn(self, l: int, n1: int, n2: int, dims_h: int,
-                        dimc: int):
-        """Jitted BSGS-gemv inner stage with double hoisting.
+    def hoisted_gemv_prep_fn(self, l: int, n1: int, dims_h: int, dimc: int):
+        """Jitted hoisting prologue: decompose+NTT c0/c1 ONCE in the extended
+        bases and apply all n1 baby-step Galois permutations as one gather
+        (ops/ntt.py ntt_galois_perm).
 
-        The reference's gemv does a FULL key switch per baby-step rotation
-        (ref: src/he-algo.c:63-85: he_rot + he_ecd + he_mulpt per (i,j)).
-        Here c1 is decomposed+NTT'd ONCE in the extended basis; each
-        rotation is an NTT-domain index permutation (ops/ntt.py
-        ntt_galois_perm) followed by pointwise multiplies with the
-        pre-NTT'd diagonal plaintext and rotation key, accumulated in the
-        extended basis; ONE divide-round per giant step i.  Exact up to the
-        divide-round of the sum (a strictly smaller rounding error than the
-        classic sum of n1 divide-rounds).
-
-        f(c0, c1, ptx [n2,n1,dims_h,n], ptb [n2,n1,dimc,n],
-          rk0, rk1 [n1,>=dims_h,n]) -> (c0s [n2,n,klv], c1s [n2,n,klv])
+        f(c0, c1) -> (c1p [n1, dims_h, n], c0p [n1, dimc, n])
         """
         ctx = self.ctx
-        qb = self.qbits(l)
         klv = self.kl(l)
-        key = ("hoistgemv", l, n1, n2, dims_h, dimc)
+        key = ("hoistprep", l, n1, dims_h, dimc)
 
         def build():
             assert self.ring.ntt_impl in ("butterfly", "pallas"), \
@@ -714,44 +703,82 @@ class CKKS:
             self.ring.prepare(dims_h, folds=(1, 2))
             self.ring.prepare(dimc, folds=(1,))
             bas = self.ring.ba(dims_h)
-            r2s = jnp.array(ctx.poly.basis(dims_h).r2)
             ws = self.ring.weights(dims_h, klv)
+            bac = self.ring.ba(dimc)
+            wc = self.ring.weights(dimc, klv)
+            from ..ops.ntt import ntt_galois_perm
+            perm = jnp.asarray(np.stack(
+                [ntt_galois_perm(ctx.poly.logn, j) for j in range(n1)]))
+
+            @jax.jit
+            def f(c0, c1):
+                c1h = self.ring.ntt_f(rns_ops.decompose(c1, bas, ws), dims_h)
+                c0h = self.ring.ntt_f(rns_ops.decompose(c0, bac, wc), dimc)
+                # [dim, n1, n] -> [n1, dim, n]
+                return (c1h[:, perm].transpose(1, 0, 2),
+                        c0h[:, perm].transpose(1, 0, 2))
+            return f
+        return self._cached(key, build)
+
+    def hoisted_gemv_step_fn(self, l: int, dims_h: int, dimc: int):
+        """Jitted BSGS-gemv giant step with double hoisting.
+
+        The reference's gemv does a FULL key switch per baby-step rotation
+        (ref: src/he-algo.c:63-85: he_rot + he_ecd + he_mulpt per (i,j)).
+        Here each baby-step rotation is a pointwise multiply with the
+        pre-NTT'd diagonal plaintext and rotation key, accumulated in the
+        extended basis by a lax.scan (compile time flat in n1); ONE
+        divide-round per giant step.  Exact up to the divide-round of the
+        sum (a strictly smaller rounding error than the classic sum of n1
+        divide-rounds).  The caller loops giant steps OUTSIDE jit with one
+        plaintext slab per call, so device memory stays O(n1), not O(slots).
+
+        f(c1p [n1,dims_h,n], c0p [n1,dimc,n], ptx_i [n1,dims_h,n],
+          ptb_i [n1,dimc,n], rk0, rk1 [n1,>=dims_h,n]) -> (c0_i, c1_i)
+        """
+        ctx = self.ctx
+        qb = self.qbits(l)
+        klv = self.kl(l)
+        key = ("hoiststep", l, dims_h, dimc)
+
+        def build():
+            self.ring.prepare(dims_h, folds=(1, 2))
+            self.ring.prepare(dimc, folds=(1,))
+            bas = self.ring.ba(dims_h)
+            r2s = jnp.array(ctx.poly.basis(dims_h).r2)
             bac = self.ring.ba(dimc)
             planc = self.ring.recon(dimc)
             r2c = jnp.array(ctx.poly.basis(dimc).r2)
-            wc = self.ring.weights(dimc, klv)
             ks_pair = self._keyswitch_core(dims_h, l)
-            from ..ops.ntt import ntt_galois_perm
-            perms = [jnp.asarray(ntt_galois_perm(ctx.poly.logn, j))
-                     for j in range(n1)]
 
             @jax.jit
-            def f(c0, c1, ptx, ptb, rk0, rk1):
+            def f(c1p, c0p, ptx_i, ptb_i, rk0, rk1):
                 ps = bas.ps[:, None]
                 pvs = bas.pinv[:, None]
                 pc = bac.ps[:, None]
                 pvc = bac.pinv[:, None]
-                c1h = self.ring.ntt_f(rns_ops.decompose(c1, bas, ws), dims_h)
-                c0h = self.ring.ntt_f(rns_ops.decompose(c0, bac, wc), dimc)
-                c1p = [c1h[:, perms[j]] for j in range(n1)]
-                c0p = [c0h[:, perms[j]] for j in range(n1)]
-                out0, out1 = [], []
-                for i in range(n2):
-                    acc0 = acc1 = accb = None
-                    for j in range(n1):
-                        t = mulmod(c1p[j], ptx[i, j], ps, pvs, r2s[:, None])
-                        u0 = mulmod(t, rk0[j, :dims_h], ps, pvs, r2s[:, None])
-                        u1 = mulmod(t, rk1[j, :dims_h], ps, pvs, r2s[:, None])
-                        b = mulmod(c0p[j], ptb[i, j], pc, pvc, r2c[:, None])
-                        acc0 = u0 if acc0 is None else addmod(acc0, u0, ps)
-                        acc1 = u1 if acc1 is None else addmod(acc1, u1, ps)
-                        accb = b if accb is None else addmod(accb, b, pc)
-                    k0, k1 = ks_pair(acc0, acc1)
-                    res = self.ring.ntt_i(accb, dimc)
-                    db = rns_ops.reconstruct(res, bac, planc, center=True)
-                    db = lb.resize(lb.mask_bits(db, qb), klv)
-                    out0.append(lb.mask_bits(lb.add(k0, db), qb))
-                    out1.append(k1)
-                return jnp.stack(out0), jnp.stack(out1)
+                n = c1p.shape[-1]
+
+                def body(carry, xs):
+                    acc0, acc1, accb = carry
+                    c1j, c0j, px, pb, r0, r1 = xs
+                    t = mulmod(c1j, px, ps, pvs, r2s[:, None])
+                    u0 = mulmod(t, r0, ps, pvs, r2s[:, None])
+                    u1 = mulmod(t, r1, ps, pvs, r2s[:, None])
+                    b = mulmod(c0j, pb, pc, pvc, r2c[:, None])
+                    return (addmod(acc0, u0, ps), addmod(acc1, u1, ps),
+                            addmod(accb, b, pc)), None
+                init = (jnp.zeros((dims_h, n), dtype=jnp.uint64),
+                        jnp.zeros((dims_h, n), dtype=jnp.uint64),
+                        jnp.zeros((dimc, n), dtype=jnp.uint64))
+                (acc0, acc1, accb), _ = jax.lax.scan(
+                    body, init,
+                    (c1p, c0p, ptx_i, ptb_i,
+                     rk0[:, :dims_h], rk1[:, :dims_h]))
+                k0, k1 = ks_pair(acc0, acc1)
+                res = self.ring.ntt_i(accb, dimc)
+                db = rns_ops.reconstruct(res, bac, planc, center=True)
+                db = lb.resize(lb.mask_bits(db, qb), klv)
+                return lb.mask_bits(lb.add(k0, db), qb), k1
             return f
         return self._cached(key, build)

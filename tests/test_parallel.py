@@ -69,6 +69,55 @@ def test_sharded_poly_mul_3d_matches_single():
         assert np.array_equal(got[i], single), f"batch element {i} differs"
 
 
+def _run_sharded_mul_rs(logn: int, logq: int) -> None:
+    """Sharded fused multiply+relin+rescale == single-device engine program,
+    bit for bit, on the full (limb=2, coeff=2, batch=2) mesh."""
+    from gpqhe_tpu.context import HeContext
+    from gpqhe_tpu.parallel.mesh import build_sharded_mul_rs, make_he_mesh3
+    from gpqhe_tpu.ring import sample as smp
+    from gpqhe_tpu.scheme.engine import CKKS
+    from gpqhe_tpu.substrate.surf import Surf
+
+    ctx = HeContext(logn=logn, q=1 << logq, slots=4, Delta=1 << 30)
+    eng = CKKS(ctx, rng=Surf())
+    pk, sk = eng.keypair()
+    rlk = eng.genrlk(sk)
+    m0 = smp.sample_z01vec(eng.rng, ctx.slots)
+    m1 = smp.sample_z01vec(eng.rng, ctx.slots)
+    ct1 = eng.enc_pk(eng.ecd(m0), pk)
+    ct2 = eng.enc_pk(eng.ecd(m1), pk)
+    ref = eng.mul_rs(ct1, ct2, rlk)
+    mesh = make_he_mesh3(8, limb=2, coeff=2)
+    f = build_sharded_mul_rs(eng, ctx.L, mesh)
+    B = 2
+
+    def bat(x):
+        return jnp.broadcast_to(x[None], (B,) + x.shape)
+    c0, c1 = f(bat(ct1.c0), bat(ct1.c1), bat(ct2.c0), bat(ct2.c1),
+               rlk.p0hat, rlk.p1hat)
+    ref0, ref1 = np.asarray(ref.c0), np.asarray(ref.c1)
+    for i in range(B):
+        assert np.array_equal(np.asarray(c0[i]), ref0), f"c0[{i}] differs"
+        assert np.array_equal(np.asarray(c1[i]), ref1), f"c1[{i}] differs"
+    # sanity: the sharded result decodes correctly too
+    from gpqhe_tpu.scheme.types import Ciphertext
+    out = Ciphertext(l=ref.l, nu=ref.nu, B=ref.B, c0=c0[0], c1=c1[0])
+    got = eng.dcd(eng.dec(out, sk))
+    assert np.max(np.abs(got - m0 * m1)) < 1e-5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_mul_rs_matches_engine():
+    _run_sharded_mul_rs(logn=6, logq=110)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_mul_rs_matches_engine_logn12():
+    """Real ladder dims at logn=12 (security-table logq=109)."""
+    _run_sharded_mul_rs(logn=12, logq=109)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_coeff_sharded_ntt_roundtrip_deep():
     """8-way coefficient sharding (3 ppermute stages) of the bare NTT:
