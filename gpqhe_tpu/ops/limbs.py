@@ -21,40 +21,57 @@ def _u64(a):
     return a.astype(jnp.uint64)
 
 
+def _shift_limb_axis(c):
+    """Shift one position toward higher limbs (carry c_i lands on limb i+1)."""
+    pad = [(0, 0)] * (c.ndim - 1) + [(1, 0)]
+    return jnp.pad(c, pad)[..., :-1]
+
+
+def _carry_prefix(g, p):
+    """Kogge-Stone carry prefix: G_i = carry out of limbs [0..i] given
+    generate g and propagate p flags (g & p never both true per limb)."""
+    import jax
+
+    def comb(left, right):
+        gl, pl = left
+        gr, pr = right
+        return gr | (pr & gl), pl & pr
+
+    G, _ = jax.lax.associative_scan(comb, (g, p), axis=-1)
+    return G
+
+
 def add(a, b):
-    """(a + b) mod 2^(32K), limb-wise with carry."""
-    k = a.shape[-1]
-    carry = jnp.zeros(a.shape[:-1], dtype=jnp.uint64)
-    outs = []
-    for i in range(k):
-        s = _u64(a[..., i]) + _u64(b[..., i]) + carry
-        outs.append((s & _M32).astype(jnp.uint32))
-        carry = s >> _32
-    return jnp.stack(outs, axis=-1)
+    """(a + b) mod 2^(32K), log-depth carry-lookahead over the limb axis
+    (the sequential ripple was 31-46 dependent steps at production widths)."""
+    s = _u64(a) + _u64(b)
+    low = s & _M32
+    g = (s >> _32) != 0
+    p = low == _M32
+    carry_in = _shift_limb_axis(_carry_prefix(g, p)).astype(jnp.uint64)
+    return ((low + carry_in) & _M32).astype(jnp.uint32)
 
 
 def add_scalar_bit(a, bit):
-    """a + bit (bit in {0,1} per row), mod 2^(32K)."""
-    k = a.shape[-1]
-    carry = _u64(bit)
-    outs = []
-    for i in range(k):
-        s = _u64(a[..., i]) + carry
-        outs.append((s & _M32).astype(jnp.uint32))
-        carry = s >> _32
-    return jnp.stack(outs, axis=-1)
+    """a + bit (bit in {0,1} per row), mod 2^(32K); log-depth carry."""
+    s0 = _u64(a[..., 0]) + _u64(bit)
+    low = jnp.concatenate(
+        [(s0 & _M32).astype(jnp.uint32)[..., None], a[..., 1:]], axis=-1)
+    g0 = ((s0 >> _32) != 0)[..., None]
+    g = jnp.concatenate(
+        [g0, jnp.zeros(a.shape[:-1] + (a.shape[-1] - 1,), dtype=bool)], axis=-1)
+    p = low == jnp.uint32(0xFFFFFFFF)
+    carry_in = _shift_limb_axis(_carry_prefix(g, p & ~g)).astype(jnp.uint64)
+    return ((_u64(low) + carry_in) & _M32).astype(jnp.uint32)
 
 
 def sub(a, b):
-    """(a - b) mod 2^(32K)."""
-    k = a.shape[-1]
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint64)
-    outs = []
-    for i in range(k):
-        d = _u64(a[..., i]) - _u64(b[..., i]) - borrow
-        outs.append((d & _M32).astype(jnp.uint32))
-        borrow = (d >> _32) & jnp.uint64(1)  # wrapped => borrow
-    return jnp.stack(outs, axis=-1)
+    """(a - b) mod 2^(32K), log-depth borrow-lookahead: limb i generates a
+    borrow when a_i < b_i and propagates an incoming one when a_i == b_i."""
+    g = a < b
+    p = a == b
+    borrow_in = _shift_limb_axis(_carry_prefix(g, p)).astype(jnp.uint64)
+    return ((_u64(a) - _u64(b) - borrow_in) & _M32).astype(jnp.uint32)
 
 
 def neg(a):
@@ -68,18 +85,17 @@ def select(mask, a, b):
 
 
 def geq_const(a, c_limbs):
-    """a >= c (c passed as u32[K] array or broadcastable limb tensor)."""
+    """a >= c (c passed as u32[K] array or broadcastable limb tensor).
+
+    Vectorized: per-limb (gt - lt) signs weighted by limb significance and
+    summed; the sign of the total is the lexicographic comparison (K <= 62
+    keeps the weights exact in i64)."""
     k = a.shape[-1]
-    ge = jnp.ones(a.shape[:-1], dtype=bool)
-    decided = jnp.zeros(a.shape[:-1], dtype=bool)
-    for i in range(k - 1, -1, -1):
-        ai = a[..., i]
-        ci = c_limbs[..., i] if c_limbs.ndim == a.ndim else c_limbs[i]
-        gt = ai > ci
-        lt = ai < ci
-        ge = jnp.where(~decided & gt, True, jnp.where(~decided & lt, False, ge))
-        decided = decided | gt | lt
-    return ge
+    c = c_limbs if c_limbs.ndim == a.ndim else jnp.broadcast_to(c_limbs, a.shape)
+    sgn = (a > c).astype(jnp.int64) - (a < c).astype(jnp.int64)
+    w = jnp.asarray(np.left_shift(np.int64(1), np.arange(k)))
+    score = jnp.sum(sgn * w, axis=-1)
+    return score >= 0
 
 
 def mask_bits(a, nbits: int):
@@ -175,12 +191,23 @@ def to_digits16(a):
     return jnp.stack([lo, hi], axis=-1).reshape(a.shape[:-1] + (2 * a.shape[-1],))
 
 
+def _shift_digit_axis(c):
+    """Shift one position toward higher digits (carry c_i lands on digit i+1)."""
+    pad = [(0, 0)] * (c.ndim - 1) + [(1, 0)]
+    return jnp.pad(c, pad)[..., :-1]
+
+
 def from_digits16(d, k_out: int):
     """u64[..., D] 16-bit digit sums (each < 2^48) -> u32[..., k_out] limbs,
     with carry propagation; value taken mod 2^(32 k_out).
 
-    Carry is inherently sequential; a lax.scan over the digit axis keeps the
-    XLA graph small (the unrolled version dominated compile time)."""
+    Carry propagation in LOG depth instead of a sequential scan over the
+    digit axis: three parallel split-and-add rounds shrink every digit to
+    <= 2^16 (bounds 2^48 -> 2^32+2^16 -> 2^17 -> 2^16), then the remaining
+    0/1 ripple is resolved with a Kogge-Stone-style prefix over
+    (generate, propagate) flags via lax.associative_scan.  Replaces a
+    want-step lax.scan (62-92 sequential steps at production dims) with
+    ~3 + log2(D) vectorized steps."""
     import jax
 
     ddim = d.shape[-1]
@@ -190,17 +217,25 @@ def from_digits16(d, k_out: int):
         d = jnp.pad(d, pad)
     elif ddim > want:
         d = d[..., :want]
-    dt = jnp.moveaxis(d, -1, 0)  # [want, ...]
+    m16 = jnp.uint64(0xFFFF)
+    s16 = jnp.uint64(16)
+    for _ in range(3):
+        d = (d & m16) + _shift_digit_axis(d >> s16)
+    b = d & m16
+    g = (d >> s16) != 0          # digit == 2^16: generates a carry
+    p = b == m16                 # digit == 0xFFFF: propagates a carry
 
-    def step(carry, di):
-        s = di + carry
-        return s >> jnp.uint64(16), s & jnp.uint64(0xFFFF)
+    def comb(left, right):
+        gl, pl = left
+        gr, pr = right
+        return gr | (pr & gl), pl & pr
 
-    _, digits = jax.lax.scan(step, jnp.zeros(d.shape[:-1], dtype=jnp.uint64), dt)
-    digits = jnp.moveaxis(digits, 0, -1)  # [..., want]
+    G, _ = jax.lax.associative_scan(comb, (g, p), axis=-1)
+    carry_in = _shift_digit_axis(G).astype(jnp.uint64)
+    digits = (b + carry_in) & m16
     lo = digits[..., 0::2]
     hi = digits[..., 1::2]
-    return (lo | (hi << jnp.uint64(16))).astype(jnp.uint32)
+    return (lo | (hi << s16)).astype(jnp.uint32)
 
 
 def mul_const_mod2k(a, c16: np.ndarray, k_out: int):

@@ -148,16 +148,20 @@ def reconstruct_core(res, ps, pinv, phatinv_mont, phat_shift, inv_p, negP16,
     psb = ps[:, None]
     pinvb = pinv[:, None]
     y = mont_mul(res, phatinv_mont[:, None], psb, pinvb)  # [..., dim, n]
-    # S = sum_d y_d * phat_d in 16-bit digit planes, accumulated as EXACT f64
-    # matmuls: every product <= (2^16-1)^2 < 2^32 and every digit sum
-    # <= 4*dim*2^32 < 2^41 << 2^53, so f64 arithmetic here is integer-exact
-    # (verified exact on TPU's emulated f64 in this range).
-    s_digits = None
-    for t in range(4):
-        yt = ((y >> jnp.uint64(16 * t)) & jnp.uint64(0xFFFF)).astype(jnp.float64)
-        # contract over dim: [..., dim, n] x [dim, ds] -> [..., n, ds]
-        part = jnp.einsum("...dn,ds->...ns", yt, phat_shift[t])
-        s_digits = part if s_digits is None else s_digits + part
+    # S = sum_d y_d * phat_d in 16-bit digit planes, accumulated as ONE EXACT
+    # f64 matmul with contraction over (4 shifts x dim): every product
+    # <= (2^16-1)^2 < 2^32 and every digit sum <= 4*dim*2^32 < 2^41 << 2^53,
+    # so f64 arithmetic here is integer-exact (verified exact on TPU's
+    # emulated f64 in this range; addition order is immaterial since all
+    # partial sums are exact integers).
+    dim_here = res.shape[-2]
+    n_here = res.shape[-1]
+    yts = jnp.stack(
+        [((y >> jnp.uint64(16 * t)) & jnp.uint64(0xFFFF)).astype(jnp.float64)
+         for t in range(4)], axis=-3)                     # [..., 4, dim, n]
+    Y = yts.reshape(y.shape[:-2] + (4 * dim_here, n_here))
+    W = phat_shift.reshape(4 * dim_here, phat_shift.shape[-1])
+    s_digits = jnp.einsum("...kn,ks->...ns", Y, W)
     # alpha = floor(S / P) estimated in f64, corrected exactly below
     af = jnp.einsum("...dn,d->...n", y.astype(jnp.float64), inv_p)
     if axis_name is not None:
