@@ -148,9 +148,13 @@ def gemv_hoisted(eng: CKKS, plan: HoistedGemvPlan, ct: Ciphertext,
         # backend's NTT ordering has no permutation tables) — classic path
         return gemv(eng, None, ct, rk, plan=plan)
     dims_h, dimc, nu_max = plan.dims(eng, l)
+    bnd_sum = plan.bound_max() * plan.n1
     rk0, rk1 = plan.rk_stack(rk)
     prep = eng.hoisted_gemv_prep_fn(l, plan.n1, dims_h, dimc)
-    step = eng.hoisted_gemv_step_fn(l, dims_h, dimc)
+    step = eng.hoisted_gemv_step_fn(
+        l, dims_h, dimc,
+        bits_h=eng.bits_hoist(l, bnd_sum),
+        bits_c=eng.ctx.bits_mulpt(l, bnd_sum))
     c1p, c0p = prep(ct.c0, ct.c1)
     # ledger mirrors the classic composition: mulpt (nu*=, B*=) then adds
     nu_i = ct.nu * nu_max

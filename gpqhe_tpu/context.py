@@ -183,6 +183,7 @@ class RnsBasis:
     ninv_mont: np.ndarray = field(default=None)     # u64[dim]
     r2: np.ndarray = field(default=None)            # u64[dim]
     phatinv_mont: np.ndarray = field(default=None)  # u64[dim]: phat^-1 * R mod p
+    ninvphat_mont: np.ndarray = field(default=None)  # u64[dim]: n^-1 phat^-1 R mod p
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +254,12 @@ class PolyContext:
             r2=np.array([self.prime_ctx[i].r2 for i in range(dim)], dtype=np.uint64),
             phatinv_mont=np.array(
                 [inv * params.R % p for inv, p in zip(phat_invmp, primes)],
+                dtype=np.uint64),
+            # n^-1 * phat^-1 combined: lets the INTT's final scaling also
+            # perform the CRT reconstruct's phatinv multiply for free
+            ninvphat_mont=np.array(
+                [pow(self.n, p - 2, p) * inv % p * params.R % p
+                 for inv, p in zip(phat_invmp, primes)],
                 dtype=np.uint64),
         )
         self._basis_cache[dim] = b
@@ -360,20 +367,32 @@ class HeContext:
         term covers log2(h)+1 at every ring size."""
         return (self.q[l].bit_length() + self.poly.logn) // self.logp_prime + 1
 
+    def bits_mul(self, l: int) -> int:
+        """Proven bound: |cross-term coeffs| < 2^bits_mul (n products < q_l^2)."""
+        return 2 * self.q[l].bit_length() + self.poly.logn
+
     def dim_mul(self, l: int) -> int:
         """Ciphertext multiply dim (ref: src/he-mult.c:99)."""
-        return (2 * self.q[l].bit_length() + self.poly.logn) // self.logp_prime + 1
+        return self.bits_mul(l) // self.logp_prime + 1
+
+    def bits_swk(self, l: int) -> int:
+        """Proven bound on the key-switch product d * swk_h coefficients."""
+        return (self.q[l].bit_length() + self.PqL.bit_length()
+                + self.poly.logn)
 
     def dim_swk(self, l: int) -> int:
         """Key-switch / relin dim (ref: src/he-mult.c:51, he-automorphism.c:52)."""
-        return (self.q[l].bit_length() + self.PqL.bit_length()
-                + self.poly.logn) // self.logp_prime + 1
+        return self.bits_swk(l) // self.logp_prime + 1
+
+    def bits_mulpt(self, l: int, nu: float) -> int:
+        """Proven bound on the plaintext-product coefficients."""
+        return int(self.q[l].bit_length() + math.log2(max(nu, 1.0))
+                   + self.poly.logn + 1)
 
     def dim_mulpt(self, l: int, nu: float) -> int:
         """Plaintext multiply dim (ref: src/he-mult.c:168; +1 bit so the
         fractional log2(nu) cannot eat the centered-lift sign bit)."""
-        return int((self.q[l].bit_length() + math.log2(max(nu, 1.0))
-                    + self.poly.logn + 1) // self.logp_prime + 1)
+        return self.bits_mulpt(l, nu) // self.logp_prime + 1
 
     def dim_keygen(self) -> int:
         """Keypair / enc dim (ref: src/he-kem.c:59, he-encrypt.c:58)."""

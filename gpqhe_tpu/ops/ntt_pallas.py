@@ -1,14 +1,29 @@
 """Pallas TPU kernel: fused negacyclic NTT/INTT, all stages in VMEM.
 
 The jnp butterfly path (ops/ntt.py) round-trips HBM through XLA's u64
-emulation every stage.  This kernel keeps one prime's residue vector in VMEM
-as u32 (lo, hi) planes for all logn stages, with Montgomery arithmetic
-written directly in u32 16-bit partial products.
+emulation every stage.  This kernel keeps one prime's residue vectors in VMEM
+as u32 (lo, hi) planes for all logn stages.
+
+Arithmetic: Shoup multiplication with Harvey-style lazy reduction instead of
+Montgomery.  Twiddles are stored in the STANDARD domain together with their
+Shoup companions z' = floor(z * 2^64 / p); one butterfly multiply costs
+~24 16-bit partial products (vs ~40 for the 64-bit Montgomery chain):
+
+    q = mulhi64_approx(x, z')       # drops the ll partial: q in {q*, q*-1}
+    r = lo64(x*z) - lo64(q*p)       # r = x*z mod p + k*p, k in {0,1,2}
+    r -= 2p if r >= 2p              # r < 2p
+
+Coefficients ride a lazy < 4p invariant through the forward stages (inputs
+< p; one conditional 2p-subtract on x0 per butterfly) and < 4p/< 2p through
+the inverse; outputs are reduced exactly to [0, p) at the end, so results
+are BIT-IDENTICAL to the 'butterfly' backend (ref: src/ntt.c:37-73 order).
 
 Mosaic-friendly data movement (no 1D reshapes — only leading-axis reshapes,
-row slices and one transpose pair, all verified supported):
+row slices and one transpose pair per poly):
 
-  view the vector as M[R, 128] (row-major, i = r*128 + c)
+  each poly's vector is a slab M[R, 128] (row-major, i = r*128 + c);
+  a P-poly fold is poly-MAJOR ([2, P*R, C], row = j*R + r), so zeta tables
+  are shared across the fold with NO per-fold replication:
   - stages with len >= 128: butterflies pair ROWS (distance len/128);
     per-block zetas come from the first R entries of the standard bit-rev
     table, lane-replicated host-side.
@@ -16,9 +31,7 @@ row slices and one transpose pair, all verified supported):
     again; per-stage zeta PLANES Z[g, r] = zetas[n/(2len) + r*128/(2len) + g]
     are precomputed host-side (127 rows total, padded to 128).
 
-Twiddles/butterfly order match ops/ntt.py exactly (ref: src/ntt.c:37-73), so
-this backend is interchangeable with 'butterfly' on the same NTT-resident
-data.  Requires n >= 1024.
+Requires n >= 1024.
 """
 
 from __future__ import annotations
@@ -77,61 +90,75 @@ def _mul64_lo(alo, ahi, blo, bhi):
     return l0, h0 + alo * bhi + ahi * blo
 
 
-def _mul64_hi(alo, ahi, blo, bhi):
-    h_ll, _ = _mulhilo32(alo, blo)
-    h_lh, l_lh = _mulhilo32(alo, bhi)
-    h_hl, l_hl = _mulhilo32(ahi, blo)
-    h_hh, l_hh = _mulhilo32(ahi, bhi)
-    c_lo = h_ll + l_lh
-    c1 = (c_lo < l_lh).astype(jnp.uint32)
-    c_lo2 = c_lo + l_hl
-    c2 = (c_lo2 < l_hl).astype(jnp.uint32)
-    carry32 = c1 + c2
-    r_lo = l_hh + h_lh
-    d1 = (r_lo < h_lh).astype(jnp.uint32)
-    r_lo2 = r_lo + h_hl
-    d2 = (r_lo2 < h_hl).astype(jnp.uint32)
-    r_lo3 = r_lo2 + carry32
-    d3 = (r_lo3 < carry32).astype(jnp.uint32)
-    return r_lo3, h_hh + d1 + d2 + d3
+def _mul64_hi_approx(alo, ahi, blo, bhi):
+    """High 64 bits of the 128-bit product, MINUS at most 1: the ll partial
+    product is dropped entirely, losing at most one carry into the high
+    half (h0 < 2^32 dropped from the 34-bit cross sum)."""
+    h1, l1 = _mulhilo32(alo, bhi)
+    h2, l2 = _mulhilo32(ahi, blo)
+    h3, l3 = _mulhilo32(ahi, bhi)
+    m = l1 + l2
+    c1 = (m < l2).astype(jnp.uint32)      # carry of the (approx) cross sum
+    lo = l3 + h1
+    d1 = (lo < h1).astype(jnp.uint32)
+    lo2 = lo + h2
+    d2 = (lo2 < h2).astype(jnp.uint32)
+    lo3 = lo2 + c1
+    d3 = (lo3 < c1).astype(jnp.uint32)
+    return lo3, h3 + d1 + d2 + d3
 
 
-def _mont_mul(alo, ahi, blo, bhi, plo, phi, vlo, vhi):
-    """Montgomery a*b*R^-1 mod p, R=2^64 (ref: src/reduce.c:59-66)."""
-    m_lo, m_hi = _mul64_lo(alo, ahi, blo, bhi)
-    t_lo, t_hi = _mul64_hi(alo, ahi, blo, bhi)
-    u_lo, u_hi = _mul64_lo(m_lo, m_hi, vlo, vhi)
-    s_lo, s_hi = _mul64_hi(u_lo, u_hi, plo, phi)
-    borrow = (t_hi < s_hi) | ((t_hi == s_hi) & (t_lo < s_lo))
-    r_lo, r_hi = _sub64(t_lo, t_hi, s_lo, s_hi)
-    a_lo, a_hi = _add64(r_lo, r_hi, plo, phi)
-    return (jnp.where(borrow, a_lo, r_lo), jnp.where(borrow, a_hi, r_hi))
+def _geq64(alo, ahi, blo, bhi):
+    return (ahi > bhi) | ((ahi == bhi) & (alo >= blo))
 
 
-def _addmod(alo, ahi, blo, bhi, plo, phi):
-    s_lo, s_hi = _add64(alo, ahi, blo, bhi)
-    ge = (s_hi > phi) | ((s_hi == phi) & (s_lo >= plo))
-    d_lo, d_hi = _sub64(s_lo, s_hi, plo, phi)
-    return jnp.where(ge, d_lo, s_lo), jnp.where(ge, d_hi, s_hi)
+def _cond_sub(alo, ahi, blo, bhi):
+    """a - b if a >= b else a."""
+    ge = _geq64(alo, ahi, blo, bhi)
+    dlo, dhi = _sub64(alo, ahi, blo, bhi)
+    return jnp.where(ge, dlo, alo), jnp.where(ge, dhi, ahi)
 
 
-def _submod(alo, ahi, blo, bhi, plo, phi):
-    lt = (ahi < bhi) | ((ahi == bhi) & (alo < blo))
-    d_lo, d_hi = _sub64(alo, ahi, blo, bhi)
-    a_lo, a_hi = _add64(d_lo, d_hi, plo, phi)
-    return jnp.where(lt, a_lo, d_lo), jnp.where(lt, a_hi, d_hi)
+def _shoup_mul(xlo, xhi, zlo, zhi, zslo, zshi, plo, phi, p2lo, p2hi):
+    """x * z mod p, lazily: result < 2p.  Any x < 2^64; z < p < 2^60.
+    q = approx-hi(x*z') with error <= 1, so r = lo(x*z) - lo(q*p) < 3p."""
+    qlo, qhi = _mul64_hi_approx(xlo, xhi, zslo, zshi)
+    r1lo, r1hi = _mul64_lo(xlo, xhi, zlo, zhi)
+    r2lo, r2hi = _mul64_lo(qlo, qhi, plo, phi)
+    rlo, rhi = _sub64(r1lo, r1hi, r2lo, r2hi)
+    return _cond_sub(rlo, rhi, p2lo, p2hi)
 
 
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
 
-def _big_stages(alo, ahi, zb_lo, zb_hi, plo, phi, vlo, vhi, R, P, inverse):
-    """Stages with len >= 128 on the folded view M[R*P, C], row = r*P + j
-    (j = poly index within the fold).  Butterfly partners sit P*len/128 rows
-    apart and every row of a block shares one zeta, so the P>1 fold only
-    changes the block height.  Forward: len descending from n/2 to 128;
-    inverse: ascending 128..n/2 (GS)."""
+def _fwd_butterfly(x0l, x0h, x1l, x1h, zl, zh, zsl, zsh, sc):
+    """Lazy CT butterfly: inputs < 4p, outputs < 4p."""
+    plo, phi, p2lo, p2hi, p4lo, p4hi = sc
+    x0l, x0h = _cond_sub(x0l, x0h, p2lo, p2hi)           # < 2p
+    tl, th = _shoup_mul(x1l, x1h, zl, zh, zsl, zsh, plo, phi, p2lo, p2hi)
+    y0l, y0h = _add64(x0l, x0h, tl, th)                  # < 4p
+    d0l, d0h = _add64(x0l, x0h, p2lo, p2hi)
+    y1l, y1h = _sub64(d0l, d0h, tl, th)                  # in (0, 4p)
+    return y0l, y0h, y1l, y1h
+
+
+def _inv_butterfly(x0l, x0h, x1l, x1h, zl, zh, zsl, zsh, sc):
+    """Lazy GS butterfly: inputs < 4p, outputs < 4p (y1 even < 2p)."""
+    plo, phi, p2lo, p2hi, p4lo, p4hi = sc
+    sl, sh = _add64(x0l, x0h, x1l, x1h)                  # < 8p
+    y0l, y0h = _cond_sub(sl, sh, p4lo, p4hi)             # < 4p
+    dl, dh = _add64(x0l, x0h, p4lo, p4hi)
+    dl, dh = _sub64(dl, dh, x1l, x1h)                    # in (0, 8p) < 2^63
+    y1l, y1h = _shoup_mul(dl, dh, zl, zh, zsl, zsh, plo, phi, p2lo, p2hi)
+    return y0l, y0h, y1l, y1h
+
+
+def _big_stages(alo, ahi, zb, zbs, sc, R, inverse):
+    """Stages with len >= 128 on one poly slab M[R, C]; every row of a block
+    shares one zeta.  Forward: len descending from n/2 to 128; inverse:
+    ascending 128..n/2 (GS)."""
     Ls = []
     L = R // 2
     while L >= 1:
@@ -139,35 +166,31 @@ def _big_stages(alo, ahi, zb_lo, zb_hi, plo, phi, vlo, vhi, R, P, inverse):
         L //= 2
     if inverse:
         Ls = Ls[::-1]
+    bf = _inv_butterfly if inverse else _fwd_butterfly
     for L in Ls:
         nb = R // (2 * L)
-        x0l = alo.reshape(nb, 2 * L * P, _C)[:, :L * P, :]
-        x0h = ahi.reshape(nb, 2 * L * P, _C)[:, :L * P, :]
-        x1l = alo.reshape(nb, 2 * L * P, _C)[:, L * P:, :]
-        x1h = ahi.reshape(nb, 2 * L * P, _C)[:, L * P:, :]
-        zl = zb_lo[nb:2 * nb, :].reshape(nb, 1, _C)
-        zh = zb_hi[nb:2 * nb, :].reshape(nb, 1, _C)
-        if not inverse:
-            tl, th = _mont_mul(x1l, x1h, zl, zh, plo, phi, vlo, vhi)
-            y0l, y0h = _addmod(x0l, x0h, tl, th, plo, phi)
-            y1l, y1h = _submod(x0l, x0h, tl, th, plo, phi)
-        else:
-            y0l, y0h = _addmod(x0l, x0h, x1l, x1h, plo, phi)
-            dl, dh = _submod(x0l, x0h, x1l, x1h, plo, phi)
-            y1l, y1h = _mont_mul(dl, dh, zl, zh, plo, phi, vlo, vhi)
-        alo = jnp.concatenate([y0l, y1l], axis=1).reshape(R * P, _C)
-        ahi = jnp.concatenate([y0h, y1h], axis=1).reshape(R * P, _C)
+        x0l = alo.reshape(nb, 2 * L, _C)[:, :L, :]
+        x0h = ahi.reshape(nb, 2 * L, _C)[:, :L, :]
+        x1l = alo.reshape(nb, 2 * L, _C)[:, L:, :]
+        x1h = ahi.reshape(nb, 2 * L, _C)[:, L:, :]
+        zl = zb[0, nb:2 * nb, :].reshape(nb, 1, _C)
+        zh = zb[1, nb:2 * nb, :].reshape(nb, 1, _C)
+        zsl = zbs[0, nb:2 * nb, :].reshape(nb, 1, _C)
+        zsh = zbs[1, nb:2 * nb, :].reshape(nb, 1, _C)
+        y0l, y0h, y1l, y1h = bf(x0l, x0h, x1l, x1h, zl, zh, zsl, zsh, sc)
+        alo = jnp.concatenate([y0l, y1l], axis=1).reshape(R, _C)
+        ahi = jnp.concatenate([y0h, y1h], axis=1).reshape(R, _C)
     return alo, ahi
 
 
-def _tail_stages(tlo, thi, zt_lo, zt_hi, plo, phi, vlo, vhi, W, inverse):
-    """Stages with len < 128 on M^T [C, W] (W = R*P; the fold only widens the
-    lane dimension — zt planes carry the P-fold repeat from _tail_planes).
-    Forward: len descending 64..1; inverse: ascending 1..64.  zt rows are
-    laid out in the same order."""
+def _tail_stages(tlo, thi, zt, zts, sc, W, inverse):
+    """Stages with len < 128 on M^T [C, W] (W = R).  Forward: len descending
+    64..1; inverse: ascending 1..64.  zt rows are laid out in the same
+    order."""
     lens = [64, 32, 16, 8, 4, 2, 1]
     if inverse:
         lens = lens[::-1]
+    bf = _inv_butterfly if inverse else _fwd_butterfly
     off = 0
     for ln in lens:
         gpr = _C // (2 * ln)
@@ -175,60 +198,70 @@ def _tail_stages(tlo, thi, zt_lo, zt_hi, plo, phi, vlo, vhi, W, inverse):
         x0h = thi.reshape(gpr, 2 * ln, W)[:, :ln, :]
         x1l = tlo.reshape(gpr, 2 * ln, W)[:, ln:, :]
         x1h = thi.reshape(gpr, 2 * ln, W)[:, ln:, :]
-        zl = zt_lo[off:off + gpr, :].reshape(gpr, 1, W)
-        zh = zt_hi[off:off + gpr, :].reshape(gpr, 1, W)
-        if not inverse:
-            tl, th = _mont_mul(x1l, x1h, zl, zh, plo, phi, vlo, vhi)
-            y0l, y0h = _addmod(x0l, x0h, tl, th, plo, phi)
-            y1l, y1h = _submod(x0l, x0h, tl, th, plo, phi)
-        else:
-            y0l, y0h = _addmod(x0l, x0h, x1l, x1h, plo, phi)
-            dl, dh = _submod(x0l, x0h, x1l, x1h, plo, phi)
-            y1l, y1h = _mont_mul(dl, dh, zl, zh, plo, phi, vlo, vhi)
+        zl = zt[0, off:off + gpr, :].reshape(gpr, 1, W)
+        zh = zt[1, off:off + gpr, :].reshape(gpr, 1, W)
+        zsl = zts[0, off:off + gpr, :].reshape(gpr, 1, W)
+        zsh = zts[1, off:off + gpr, :].reshape(gpr, 1, W)
+        y0l, y0h, y1l, y1h = bf(x0l, x0h, x1l, x1h, zl, zh, zsl, zsh, sc)
         tlo = jnp.concatenate([y0l, y1l], axis=1).reshape(_C, W)
         thi = jnp.concatenate([y0h, y1h], axis=1).reshape(_C, W)
         off += gpr
     return tlo, thi
 
 
-def _ntt_kernel(R: int, P: int, inverse: bool,
-                a_ref, zbig_ref, ztail_ref, scc_ref, scr_ref, out_ref):
+def _scalars(sc_ref):
+    """(p, 2p, 4p) lo/hi rows from a [2, 8, width] scalar block."""
+    plo = sc_ref[0, 0:1, :]
+    phi = sc_ref[1, 0:1, :]
+    p2lo = sc_ref[0, 1:2, :]
+    p2hi = sc_ref[1, 1:2, :]
+    p4lo = sc_ref[0, 2:3, :]
+    p4hi = sc_ref[1, 2:3, :]
+    return plo, phi, p2lo, p2hi, p4lo, p4hi
+
+
+def _ntt_kernel(R: int, P: int, inverse: bool, scaled: bool,
+                a_ref, zb_ref, zbs_ref, zt_ref, zts_ref, scc_ref, scr_ref,
+                out_ref):
     """Grid-free single-prime kernel over a P-poly fold (the remote Mosaic
     helper rejects any gridded pallas_call — see CLAUDE.md).  a_ref is
-    [2, R*P, C] with row = r*P + j for poly j of the fold; all P polys share
-    the prime, so scalars and big-stage zetas are poly-independent.  Scalars
-    arrive lane-replicated: scc [2, 8, C] rows = (p, pinv, ninv) for the
-    normal domain, scr [2, 8, R*P] for the transposed domain."""
-    plo_c = scc_ref[0, 0:1, :]
-    phi_c = scc_ref[1, 0:1, :]
-    vlo_c = scc_ref[0, 1:2, :]
-    vhi_c = scc_ref[1, 1:2, :]
-    nlo_c = scc_ref[0, 2:3, :]
-    nhi_c = scc_ref[1, 2:3, :]
-    plo_r = scr_ref[0, 0:1, :]
-    phi_r = scr_ref[1, 0:1, :]
-    vlo_r = scr_ref[0, 1:2, :]
-    vhi_r = scr_ref[1, 1:2, :]
-    alo = a_ref[0]
-    ahi = a_ref[1]
-    W = R * P
-    if not inverse:
-        alo, ahi = _big_stages(alo, ahi, zbig_ref[0], zbig_ref[1],
-                               plo_c, phi_c, vlo_c, vhi_c, R, P, False)
-        tlo, thi = alo.T, ahi.T
-        tlo, thi = _tail_stages(tlo, thi, ztail_ref[0], ztail_ref[1],
-                                plo_r, phi_r, vlo_r, vhi_r, W, False)
-        alo, ahi = tlo.T, thi.T
-    else:
-        tlo, thi = a_ref[0].T, a_ref[1].T
-        tlo, thi = _tail_stages(tlo, thi, ztail_ref[0], ztail_ref[1],
-                                plo_r, phi_r, vlo_r, vhi_r, W, True)
-        alo, ahi = tlo.T, thi.T
-        alo, ahi = _big_stages(alo, ahi, zbig_ref[0], zbig_ref[1],
-                               plo_c, phi_c, vlo_c, vhi_c, R, P, True)
-        alo, ahi = _mont_mul(alo, ahi, nlo_c, nhi_c, plo_c, phi_c, vlo_c, vhi_c)
-    out_ref[0] = alo
-    out_ref[1] = ahi
+    [2, P*R, C], poly-MAJOR (row = j*R + r), so each poly slab runs through
+    the stage pipeline independently while sharing the prime's zeta tables
+    and scalars.  Scalars arrive lane-replicated: scc [2, 8, C] rows =
+    (p, 2p, 4p, ninv, ninv', ninvphat, ninvphat') for the normal domain,
+    scr [2, 8, R] for the transposed domain.  scaled=True makes the INTT's
+    final scaling multiply by n^-1 * phat^-1 (CRT-reconstruct fusion)."""
+    sc_c = _scalars(scc_ref)
+    sc_r = _scalars(scr_ref)
+    srow = 5 if scaled else 3
+    nlo = scc_ref[0, srow:srow + 1, :]
+    nhi = scc_ref[1, srow:srow + 1, :]
+    nslo = scc_ref[0, srow + 1:srow + 2, :]
+    nshi = scc_ref[1, srow + 1:srow + 2, :]
+    plo_r, phi_r, p2lo_r, p2hi_r = sc_r[0], sc_r[1], sc_r[2], sc_r[3]
+    plo_c, phi_c, p2lo_c, p2hi_c = sc_c[0], sc_c[1], sc_c[2], sc_c[3]
+    for j in range(P):
+        alo = a_ref[0, j * R:(j + 1) * R, :]
+        ahi = a_ref[1, j * R:(j + 1) * R, :]
+        if not inverse:
+            alo, ahi = _big_stages(alo, ahi, zb_ref, zbs_ref, sc_c, R, False)
+            tlo, thi = alo.T, ahi.T
+            tlo, thi = _tail_stages(tlo, thi, zt_ref, zts_ref, sc_r, R, False)
+            # exact reduction to [0, p)
+            tlo, thi = _cond_sub(tlo, thi, p2lo_r, p2hi_r)
+            tlo, thi = _cond_sub(tlo, thi, plo_r, phi_r)
+            alo, ahi = tlo.T, thi.T
+        else:
+            tlo = a_ref[0, j * R:(j + 1) * R, :].T
+            thi = a_ref[1, j * R:(j + 1) * R, :].T
+            tlo, thi = _tail_stages(tlo, thi, zt_ref, zts_ref, sc_r, R, True)
+            alo, ahi = tlo.T, thi.T
+            alo, ahi = _big_stages(alo, ahi, zb_ref, zbs_ref, sc_c, R, True)
+            alo, ahi = _shoup_mul(alo, ahi, nlo, nhi, nslo, nshi,
+                                  plo_c, phi_c, p2lo_c, p2hi_c)
+            alo, ahi = _cond_sub(alo, ahi, plo_c, phi_c)
+        out_ref[0, j * R:(j + 1) * R, :] = alo
+        out_ref[1, j * R:(j + 1) * R, :] = ahi
 
 
 # ---------------------------------------------------------------------------
@@ -240,16 +273,20 @@ class PallasNttPlan:
     dim: int
     n: int
     P: int                  # poly-fold factor (polys per kernel call)
-    scc: jnp.ndarray        # u32[dim, 2, 8, C]: p/pinv/ninv lane-replicated
-    scr: jnp.ndarray        # u32[dim, 2, 8, R*P]
-    zbig_f: jnp.ndarray     # u32[dim, 2, R, C]
-    ztail_f: jnp.ndarray    # u32[dim, 2, 128, R*P]
+    scc: jnp.ndarray        # u32[dim, 2, 8, C]: p/2p/4p/ninv/ninv' lane-rep
+    scr: jnp.ndarray        # u32[dim, 2, 8, R]
+    zbig_f: jnp.ndarray     # u32[dim, 2, R, C] standard-domain zetas
+    zbigs_f: jnp.ndarray    # u32[dim, 2, R, C] Shoup companions
+    ztail_f: jnp.ndarray    # u32[dim, 2, 128, R]
+    ztails_f: jnp.ndarray
     zbig_i: jnp.ndarray
+    zbigs_i: jnp.ndarray
     ztail_i: jnp.ndarray
+    ztails_i: jnp.ndarray
 
 
 def _lane_rep_big(z: np.ndarray, R: int) -> np.ndarray:
-    """First R entries of the zeta table, lane-replicated: [2, R, C] u32."""
+    """First R entries of a zeta table, lane-replicated: [2, R, C] u32."""
     zr = z[:R]
     lo = (zr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (zr >> np.uint64(32)).astype(np.uint32)
@@ -257,11 +294,9 @@ def _lane_rep_big(z: np.ndarray, R: int) -> np.ndarray:
                      np.repeat(hi[:, None], _C, axis=1)])
 
 
-def _tail_planes(z: np.ndarray, n: int, R: int, inverse: bool,
-                 P: int = 1) -> np.ndarray:
-    """[2, 128, R*P] u32: per-stage zeta planes Z[g, r*P+j] = z[nb + r*gpr + g]
-    (repeated across the P-fold axis), stage rows concatenated in execution
-    order."""
+def _tail_planes(z: np.ndarray, n: int, R: int, inverse: bool) -> np.ndarray:
+    """[2, 128, R] u32: per-stage zeta planes Z[g, r] = z[nb + r*gpr + g],
+    stage rows concatenated in execution order."""
     lens = [64, 32, 16, 8, 4, 2, 1]
     if inverse:
         lens = lens[::-1]
@@ -271,41 +306,71 @@ def _tail_planes(z: np.ndarray, n: int, R: int, inverse: bool,
         gpr = _C // (2 * ln)
         nb = n // (2 * ln)
         for g in range(gpr):
-            vals = np.repeat(z[nb + r_idx * gpr + g], P)
+            vals = z[nb + r_idx * gpr + g]
             rows_lo.append((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
             rows_hi.append((vals >> np.uint64(32)).astype(np.uint32))
-    rows_lo.append(np.zeros(R * P, dtype=np.uint32))
-    rows_hi.append(np.zeros(R * P, dtype=np.uint32))
+    rows_lo.append(np.zeros(R, dtype=np.uint32))
+    rows_hi.append(np.zeros(R, dtype=np.uint32))
     return np.stack([np.stack(rows_lo), np.stack(rows_hi)])
 
 
-def _scal_rows(p: int, pinv: int, ninv: int, width: int) -> np.ndarray:
-    """[2, 8, width] lane-replicated scalar rows (p, pinv, ninv)."""
+def _scal_rows(vals, width: int) -> np.ndarray:
+    """[2, 8, width] lane-replicated scalar rows."""
     out = np.zeros((2, 8, width), dtype=np.uint32)
-    for row, val in enumerate((p, pinv, ninv)):
+    for row, val in enumerate(vals):
         out[0, row, :] = val & 0xFFFFFFFF
-        out[1, row, :] = val >> 32
+        out[1, row, :] = (val >> 32) & 0xFFFFFFFF
     return out
+
+
+def _to_std(zmont: np.ndarray, p: int) -> np.ndarray:
+    """Montgomery-domain table (z*R mod p, R=2^64) -> standard domain."""
+    rinv = pow(1 << 64, -1, p)
+    return np.array([(int(z) * rinv) % p for z in zmont], dtype=np.uint64)
+
+
+def _shoup(zstd: np.ndarray, p: int) -> np.ndarray:
+    """Shoup companions floor(z << 64 / p)."""
+    return np.array([(int(z) << 64) // p for z in zstd], dtype=np.uint64)
 
 
 def make_pallas_plan(pctx, dim: int, P: int = 1) -> PallasNttPlan:
     n = pctx.n
     assert n >= 1024, "pallas NTT backend needs n >= 1024"
     R = n // _C
-    scc, scr, zbf, ztf, zbi, zti = [], [], [], [], [], []
+    scc, scr = [], []
+    zbf, zbsf, ztf, ztsf = [], [], [], []
+    zbi, zbsi, zti, ztsi = [], [], [], []
+    basis = pctx.basis(dim)
     for d in range(dim):
         pc = pctx.prime_ctx[d]
-        scc.append(_scal_rows(pc.p, pc.pinv_mont, pc.ninv_mont, _C))
-        scr.append(_scal_rows(pc.p, pc.pinv_mont, pc.ninv_mont, R * P))
-        zbf.append(_lane_rep_big(pc.zetas, R))
-        ztf.append(_tail_planes(pc.zetas, n, R, False, P))
-        zbi.append(_lane_rep_big(pc.zetas_inv, R))
-        zti.append(_tail_planes(pc.zetas_inv, n, R, True, P))
+        p = int(pc.p)
+        ninv_std = int(_to_std(np.array([pc.ninv_mont], dtype=np.uint64), p)[0])
+        ninv_sh = (ninv_std << 64) // p
+        ninvph = ninv_std * int(basis.phat_invmp[d]) % p
+        ninvph_sh = (ninvph << 64) // p
+        scal = (p, 2 * p, 4 * p, ninv_std, ninv_sh, ninvph, ninvph_sh)
+        scc.append(_scal_rows(scal, _C))
+        scr.append(_scal_rows(scal, R))
+        zf = _to_std(pc.zetas, p)
+        zi = _to_std(pc.zetas_inv, p)
+        zfs = _shoup(zf, p)
+        zis = _shoup(zi, p)
+        zbf.append(_lane_rep_big(zf, R))
+        zbsf.append(_lane_rep_big(zfs, R))
+        ztf.append(_tail_planes(zf, n, R, False))
+        ztsf.append(_tail_planes(zfs, n, R, False))
+        zbi.append(_lane_rep_big(zi, R))
+        zbsi.append(_lane_rep_big(zis, R))
+        zti.append(_tail_planes(zi, n, R, True))
+        ztsi.append(_tail_planes(zis, n, R, True))
     return PallasNttPlan(
         dim=dim, n=n, P=P,
         scc=jnp.asarray(np.stack(scc)), scr=jnp.asarray(np.stack(scr)),
-        zbig_f=jnp.asarray(np.stack(zbf)), ztail_f=jnp.asarray(np.stack(ztf)),
-        zbig_i=jnp.asarray(np.stack(zbi)), ztail_i=jnp.asarray(np.stack(zti)),
+        zbig_f=jnp.asarray(np.stack(zbf)), zbigs_f=jnp.asarray(np.stack(zbsf)),
+        ztail_f=jnp.asarray(np.stack(ztf)), ztails_f=jnp.asarray(np.stack(ztsf)),
+        zbig_i=jnp.asarray(np.stack(zbi)), zbigs_i=jnp.asarray(np.stack(zbsi)),
+        ztail_i=jnp.asarray(np.stack(zti)), ztails_i=jnp.asarray(np.stack(ztsi)),
     )
 
 
@@ -322,10 +387,11 @@ def _join(x, n):
 
 
 def ntt_pallas(a, plan: PallasNttPlan, inverse: bool = False,
-               interpret: bool | None = None):
+               interpret: bool | None = None, scaled: bool = False):
     """u64[dim, n] (plan.P == 1) or u64[P, dim, n] -> same shape.  One
     grid-free pallas call per prime covering all P polys of the fold
-    (identical kernels — XLA dedups the compilations); compose under jit."""
+    (identical kernels — XLA dedups the compilations); compose under jit.
+    scaled=True: INTT output additionally multiplied by phat^-1 per prime."""
     if interpret is None:
         interpret = INTERPRET
     P = plan.P
@@ -338,23 +404,27 @@ def ntt_pallas(a, plan: PallasNttPlan, inverse: bool = False,
         assert Pa == P, (Pa, P)
         R = n // _C
         a32 = _split(a, R)                              # [P, dim, 2, R, C]
-        a32 = a32.transpose(1, 2, 3, 0, 4).reshape(dim, 2, R * P, _C)
-    zbig = plan.zbig_i if inverse else plan.zbig_f
-    ztail = plan.ztail_i if inverse else plan.ztail_f
-    kernel = functools.partial(_ntt_kernel, R, P, inverse)
+        a32 = a32.transpose(1, 2, 0, 3, 4).reshape(dim, 2, P * R, _C)
+    if inverse:
+        zb, zbs = plan.zbig_i, plan.zbigs_i
+        zt, zts = plan.ztail_i, plan.ztails_i
+    else:
+        zb, zbs = plan.zbig_f, plan.zbigs_f
+        zt, zts = plan.ztail_f, plan.ztails_f
+    kernel = functools.partial(_ntt_kernel, R, P, inverse, scaled)
     call = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, R * P, _C), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((2, P * R, _C), jnp.uint32),
         interpret=interpret,
     )
 
     # one call site via lax.map -> a single Mosaic compilation for all primes
     def body(args):
         return call(*args)
-    out = jax.lax.map(body, (a32, zbig, ztail, plan.scc, plan.scr))
+    out = jax.lax.map(body, (a32, zb, zbs, zt, zts, plan.scc, plan.scr))
     if P == 1:
         return _join(out, n)
-    out = out.reshape(dim, 2, R, P, _C).transpose(3, 0, 1, 2, 4)
+    out = out.reshape(dim, 2, P, R, _C).transpose(2, 0, 1, 3, 4)
     return _join(out, n)

@@ -57,9 +57,12 @@ class RingEngine:
         return self._ntt4[dim]
 
     # Poly-fold cap for the pallas kernel: one grid-free call must keep
-    # input+output+zeta planes in ~16MB VMEM; R*P rows of u32-pair data stay
-    # safe through n*P <= 2^17 (n=2^16 P=4 overflows; P=2 verified on TPU).
-    _PALLAS_FOLD_BUDGET = 1 << 17
+    # input+output+zeta planes in ~16MB VMEM.  The poly-MAJOR fold layout
+    # processes per-poly slabs and shares (un-replicated) zeta tables, so
+    # the budget is set by in+out data: n*P <= 2^18 (P=4 at n=2^16 verified
+    # on TPU with the Shoup kernel; the old row-interleaved kernel died at
+    # n*P = 2^18 from P-replicated tail tables).
+    _PALLAS_FOLD_BUDGET = 1 << 18
 
     def pallas_plan(self, dim: int, P: int = 1):
         if (dim, P) not in self._pallas:
@@ -86,24 +89,27 @@ class RingEngine:
             for P in folds:
                 self.pallas_plan(dim, self.pallas_fold(P))
 
-    def _pallas_ntt(self, res, dim: int, inverse: bool):
+    def _pallas_ntt(self, res, dim: int, inverse: bool, scaled: bool = False):
         import jax
 
         from ..ops.ntt_pallas import ntt_pallas
         if res.ndim == 2:
-            return ntt_pallas(res, self.pallas_plan(dim, 1), inverse)
+            return ntt_pallas(res, self.pallas_plan(dim, 1), inverse,
+                              scaled=scaled)
         P = res.shape[0]
         fold = self.pallas_fold(P)
         if fold == P:
-            return ntt_pallas(res, self.pallas_plan(dim, P), inverse)
+            return ntt_pallas(res, self.pallas_plan(dim, P), inverse,
+                              scaled=scaled)
         plan = self.pallas_plan(dim, fold)
         if fold == 1:
             # map over bare (dim, n) slices — ntt_pallas with plan.P == 1
             # takes 2-D input (a (g, 1, dim, n) reshape would crash it)
-            return jax.lax.map(lambda x: ntt_pallas(x, plan, inverse), res)
+            return jax.lax.map(
+                lambda x: ntt_pallas(x, plan, inverse, scaled=scaled), res)
         g = P // fold
         out = jax.lax.map(
-            lambda x: ntt_pallas(x, plan, inverse),
+            lambda x: ntt_pallas(x, plan, inverse, scaled=scaled),
             res.reshape(g, fold, dim, self.pctx.n))
         return out.reshape(res.shape)
 
@@ -119,16 +125,28 @@ class RingEngine:
         ba = self.ba(dim)
         return ntt(res, ba.zetas, ba.ps, ba.pinv)
 
-    def ntt_i(self, res, dim: int):
+    def ntt_i(self, res, dim: int, scale_phatinv: bool = False):
         """Inverse NTT with the selected backend (pallas inverse verified on
-        TPU for P=1 and folded stacks; orderings match 'butterfly' exactly)."""
+        TPU for P=1 and folded stacks; orderings match 'butterfly' exactly).
+
+        scale_phatinv=True fuses the CRT reconstruct's per-prime phat^-1
+        multiply into the INTT's final n^-1 scaling (callers then pass
+        pre_scaled=True to rns.reconstruct)."""
         if self.ntt_impl == "matmul":
             from ..ops.ntt4 import intt4
-            return intt4(res, self.ntt4_plan(dim))
+            out = intt4(res, self.ntt4_plan(dim))
+            if scale_phatinv:
+                from ..ops.modmath import mont_mul
+                ba = self.ba(dim)
+                out = mont_mul(out, ba.phatinv_mont[:, None], ba.ps[:, None],
+                               ba.pinv[:, None])
+            return out
         if self.ntt_impl == "pallas" and self.pctx.n >= 1024 and res.ndim <= 3:
-            return self._pallas_ntt(res, dim, inverse=True)
+            return self._pallas_ntt(res, dim, inverse=True,
+                                    scaled=scale_phatinv)
         ba = self.ba(dim)
-        return intt(res, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
+        return intt(res, ba.zetas_inv, ba.ps, ba.pinv,
+                    ba.ninvphat_mont if scale_phatinv else ba.ninv_mont)
 
     # -- plan caches --------------------------------------------------------
 

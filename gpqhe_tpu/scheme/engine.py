@@ -413,17 +413,40 @@ class CKKS:
     # multiply + relinearize (ref: src/he-mult.c)
     # ------------------------------------------------------------------
 
-    def _keyswitch_core(self, dhat_fn_dim: int, l: int):
+    _CLASSIC = object()  # sentinel: "single-product key-switch bound"
+
+    def _keyswitch_core(self, dhat_fn_dim: int, l: int,
+                        bound_bits=_CLASSIC):
         """Build the (d * swk) / P + rounding pipeline for level l.
 
         Computes, for each half h:   u_h = rdiv(d x swk_h, P) mod q_l
-        via the small-CRT remainder trick (module docstring)."""
+        via the small-CRT remainder trick (module docstring).
+
+        bound_bits: proven bound on the accumulated |d x swk| coefficients
+        (enables the truncated CRT reconstruct); defaults to the classic
+        single-product key-switch bound ctx.bits_swk(l).  Hoisted callers
+        accumulating n1 products MUST pass their larger bound (or None to
+        force the exact full-width path)."""
         ctx = self.ctx
         dim = dhat_fn_dim
+        if bound_bits is CKKS._CLASSIC:
+            bound_bits = ctx.bits_swk(l)
         ba = self.ring.ba(dim)
         plan = self.ring.recon(dim)
         ba8 = self.ring.ba(ctx.dim)
         plan8 = self.ring.recon(ctx.dim)
+        # the scaled INTT emits y_d = c_d * phatinv(dim-basis)_d; the
+        # sub-basis reconstruct (r = c mod P over the first ctx.dim primes)
+        # needs c_d * phatinv(dim8-basis)_d, so its phatinv constant becomes
+        # the RATIO phatinv8 / phatinvS per prime
+        import dataclasses
+        bS = ctx.poly.basis(dim)
+        b8 = ctx.poly.basis(ctx.dim)
+        adj = np.array(
+            [b8.phat_invmp[d] * pow(bS.phat_invmp[d], p - 2, p) % p
+             * params.R % p for d, p in enumerate(b8.primes)],
+            dtype=np.uint64)
+        ba8_adj = dataclasses.replace(ba8, phatinv_mont=jnp.asarray(adj))
         qb = self.qbits(l)
         klv = self.kl(l)
         kq = self.kq
@@ -432,8 +455,11 @@ class CKKS:
         rk8 = self.rk8
 
         def post(res):
-            c = rns_ops.reconstruct(res, ba, plan, center=True)
-            r = rns_ops.reconstruct(res[:ctx.dim], ba8, plan8, center=False)
+            c = rns_ops.reconstruct(res, ba, plan, center=True,
+                                    k_out=kq, bound_bits=bound_bits,
+                                    pre_scaled=True)
+            r = rns_ops.reconstruct(res[:ctx.dim], ba8_adj, plan8,
+                                    center=False, k_out=plan8.ks)
             cm = lb.resize(c, kq)
             rm = lb.resize(r, kq)
             u = lb.mul_const_mod2k(lb.sub(cm, rm), pinv16, kq)
@@ -442,8 +468,10 @@ class CKKS:
             return lb.resize(lb.mask_bits(u, qb), klv)
 
         def pair(u0h, u1h):
-            # both halves' inverse NTTs in one folded kernel call
-            res = self.ring.ntt_i(jnp.stack([u0h, u1h]), dim)
+            # both halves' inverse NTTs in one folded kernel call, with the
+            # phat^-1 reconstruct multiply fused into the INTT scaling
+            res = self.ring.ntt_i(jnp.stack([u0h, u1h]), dim,
+                                  scale_phatinv=True)
             return post(res[0]), post(res[1])
         return pair
 
@@ -483,11 +511,15 @@ class CKKS:
                 d2h = mulmod(x1, y1, pm, pvm, r2m[:, None])
                 d1h = addmod(mulmod(x0, y1, pm, pvm, r2m[:, None]),
                              mulmod(x1, y0, pm, pvm, r2m[:, None]), pm)
-                # the 3 inverse NTTs likewise
-                resb = self.ring.ntt_i(jnp.stack([d0h, d1h, d2h]), dim_m)
+                # the 3 inverse NTTs likewise (phat^-1 fused into the scaling)
+                resb = self.ring.ntt_i(jnp.stack([d0h, d1h, d2h]), dim_m,
+                                       scale_phatinv=True)
 
                 def back(res):
-                    c = rns_ops.reconstruct(res, bam, planm, center=True)
+                    c = rns_ops.reconstruct(res, bam, planm, center=True,
+                                            k_out=klv,
+                                            bound_bits=ctx.bits_mul(l),
+                                            pre_scaled=True)
                     return lb.resize(lb.mask_bits(c, qb), klv)
                 d0, d1, d2 = back(resb[0]), back(resb[1]), back(resb[2])
                 # relinearize d2 with rlk over the dim_s basis (ref: he-mult.c:40-85)
@@ -554,7 +586,8 @@ class CKKS:
         qb = self.qbits(l)
         klv = self.kl(l)
         dim = ctx.dim_mulpt(l, pt.size_bound)
-        key = ("he_mulpt", l, dim, pt.m.shape[-1])
+        bits_pt = ctx.bits_mulpt(l, pt.size_bound)
+        key = ("he_mulpt", l, dim, pt.m.shape[-1], bits_pt)
 
         def build():
             self.ring.prepare(dim)
@@ -574,8 +607,10 @@ class CKKS:
                 def one(cx):
                     ch = mulmod(self.ring.ntt_f(rns_ops.decompose(cx, ba, wct), dim),
                                 pthat, p, pv, r2[:, None])
-                    res = self.ring.ntt_i(ch, dim)
-                    c = rns_ops.reconstruct(res, ba, plan, center=True)
+                    res = self.ring.ntt_i(ch, dim, scale_phatinv=True)
+                    c = rns_ops.reconstruct(res, ba, plan, center=True,
+                                            k_out=klv, bound_bits=bits_pt,
+                                            pre_scaled=True)
                     return lb.resize(lb.mask_bits(c, qb), klv)
                 return one(c0), one(c1)
             return f
@@ -673,15 +708,18 @@ class CKKS:
     # hoisted rotations (Halevi–Shoup double hoisting)
     # ------------------------------------------------------------------
 
+    def bits_hoist(self, l: int, nu_sum: float) -> int:
+        """Proven bound on the hoisted |c1|*|pt|*n1*|ek| accumulation."""
+        import math
+        ctx = self.ctx
+        return int(self.qbits(l) + math.log2(max(nu_sum, 1.0))
+                   + ctx.PqL.bit_length() + ctx.poly.logn + 1)
+
     def dim_hoist(self, l: int, nu_sum: float) -> int:
         """Extended-basis size covering the hoisted |c1|*|pt|*n1*|ek|
         accumulation (the classic relin bound of ctx.dim_swk grown by the
         plaintext-sum magnitude)."""
-        import math
-        ctx = self.ctx
-        bits = (self.qbits(l) + math.log2(max(nu_sum, 1.0))
-                + ctx.PqL.bit_length() + ctx.poly.logn + 1)
-        return int(bits // ctx.logp_prime + 1)
+        return self.bits_hoist(l, nu_sum) // self.ctx.logp_prime + 1
 
     def hoisted_gemv_prep_fn(self, l: int, n1: int, dims_h: int, dimc: int):
         """Jitted hoisting prologue: decompose+NTT c0/c1 ONCE in the extended
@@ -720,7 +758,9 @@ class CKKS:
             return f
         return self._cached(key, build)
 
-    def hoisted_gemv_step_fn(self, l: int, dims_h: int, dimc: int):
+    def hoisted_gemv_step_fn(self, l: int, dims_h: int, dimc: int,
+                             bits_h: int | None = None,
+                             bits_c: int | None = None):
         """Jitted BSGS-gemv giant step with double hoisting.
 
         The reference's gemv does a FULL key switch per baby-step rotation
@@ -739,7 +779,7 @@ class CKKS:
         ctx = self.ctx
         qb = self.qbits(l)
         klv = self.kl(l)
-        key = ("hoiststep", l, dims_h, dimc)
+        key = ("hoiststep", l, dims_h, dimc, bits_h, bits_c)
 
         def build():
             self.ring.prepare(dims_h, folds=(1, 2))
@@ -749,7 +789,7 @@ class CKKS:
             bac = self.ring.ba(dimc)
             planc = self.ring.recon(dimc)
             r2c = jnp.array(ctx.poly.basis(dimc).r2)
-            ks_pair = self._keyswitch_core(dims_h, l)
+            ks_pair = self._keyswitch_core(dims_h, l, bound_bits=bits_h)
 
             @jax.jit
             def f(c1p, c0p, ptx_i, ptb_i, rk0, rk1):
@@ -776,8 +816,10 @@ class CKKS:
                     (c1p, c0p, ptx_i, ptb_i,
                      rk0[:, :dims_h], rk1[:, :dims_h]))
                 k0, k1 = ks_pair(acc0, acc1)
-                res = self.ring.ntt_i(accb, dimc)
-                db = rns_ops.reconstruct(res, bac, planc, center=True)
+                res = self.ring.ntt_i(accb, dimc, scale_phatinv=True)
+                db = rns_ops.reconstruct(res, bac, planc, center=True,
+                                         k_out=klv, bound_bits=bits_c,
+                                         pre_scaled=True)
                 db = lb.resize(lb.mask_bits(db, qb), klv)
                 return lb.mask_bits(lb.add(k0, db), qb), k1
             return f

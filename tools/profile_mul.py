@@ -110,7 +110,8 @@ def main():
     # A5: CRT reconstruct x3 + mask
     rec3 = jax.jit(lambda r: jnp.stack([
         lb.resize(lb.mask_bits(
-            rns_ops.reconstruct(r[i], bam, plm, center=True), qb), klv)
+            rns_ops.reconstruct(r[i], bam, plm, center=True,
+                                k_out=klv, bound_bits=ctx.bits_mul(l)), qb), klv)
         for i in range(3)]))
     stages["A5 CRT reconstruct x3"] = timeit(rec3, (res3,))
     d012 = rec3(res3)
@@ -140,8 +141,10 @@ def main():
     def ksp(res):
         outs = []
         for i in range(2):
-            c = rns_ops.reconstruct(res[i], bas, pls, center=True)
-            r = rns_ops.reconstruct(res[i][:ctx.dim], ba8, pl8, center=False)
+            c = rns_ops.reconstruct(res[i], bas, pls, center=True,
+                                    k_out=eng.kq, bound_bits=ctx.bits_swk(l))
+            r = rns_ops.reconstruct(res[i][:ctx.dim], ba8, pl8, center=False,
+                                    k_out=pl8.ks)
             u = lb.mul_const_mod2k(lb.sub(lb.resize(c, eng.kq),
                                           lb.resize(r, eng.kq)), pinv16, eng.kq)
             rb = lb.geq_const(lb.resize(r, eng.rk8), p_half_up)
