@@ -1,13 +1,20 @@
 #!/usr/bin/env python
-"""Benchmark: negacyclic NTT throughput per chip at N = 2^16.
+"""Benchmark: the two north-star metrics from BASELINE.md on one chip.
 
-North-star metric from BASELINE.md ("NTT ops/s/chip at N=2^16"; the reference
-publishes no numbers, so vs_baseline is the speedup over a vectorized numpy
-CPU implementation of the identical kernel on this host).
+  1. negacyclic NTT throughput at N = 2^16 (one "op" = one forward
+     length-65536 NTT over one 59-bit prime);
+  2. fused ciphertext mult+relinearize+rescale latency at the reference's
+     linear-op parameters (logn=14, logq=438 — ref: tests/gpqhe.c:1296-1299),
+     with a decode-correctness check against the plaintext product.
 
-Prints ONE JSON line:
+The reference publishes no numbers, so vs_baseline for (1) is the speedup
+over a vectorized numpy CPU implementation of the identical kernel on this
+host, and for (2) the round-1 starting latency (36.2 ms) over the current
+one.
+
+Prints one JSON line per metric:
   {"metric": "ntt_n65536_ops_per_sec", "value": N, "unit": "ntt/s", "vs_baseline": R}
-One "op" = one forward length-65536 NTT over one 59-bit prime.
+  {"metric": "mul_rs_ms", "value": N, "unit": "ms", "vs_baseline": R}
 """
 
 import json
@@ -141,7 +148,47 @@ def main():
         "value": round(ops_per_sec, 2),
         "unit": "ntt/s",
         "vs_baseline": round(ops_per_sec / base_ops, 3),
-    }))
+    }), flush=True)
+
+    # ---- north-star scheme op: fused mult+relin+rescale at logn=14/logq=438
+    from gpqhe_tpu.context import HeContext
+    from gpqhe_tpu.ring import sample as smp
+    from gpqhe_tpu.scheme.engine import CKKS
+    from gpqhe_tpu.substrate.surf import Surf
+
+    ctx = HeContext(logn=14, q=1 << 438, slots=16, Delta=1 << 50)
+    eng = CKKS(ctx, rng=Surf(), ntt_impl="pallas")
+    pk, sk = eng.keypair()
+    rlk = eng.genrlk(sk)
+    m1 = smp.sample_z01vec(eng.rng, ctx.slots)
+    m2 = smp.sample_z01vec(eng.rng, ctx.slots)
+    ct1 = eng.enc_pk(eng.ecd(m1), pk)
+    ct2 = eng.enc_pk(eng.ecd(m2), pk)
+    log(f"mul_rs context+keys ready ({time.time()-t_start:.1f}s)")
+
+    out_ct = eng.mul_rs(ct1, ct2, rlk)      # compile + warm
+    got = eng.dcd(eng.dec(out_ct, sk))
+    diff = float(np.max(np.abs(got - m1 * m2)))
+    assert diff < 1e-5, f"mul_rs decode diff {diff} exceeds the reference KAT tolerance"
+    log(f"mul_rs correctness check passed (diff {diff:.2e}; "
+        f"{time.time()-t_start:.1f}s)")
+
+    import jax as _jax
+    iters = 20
+    out = eng.mul_rs(ct1, ct2, rlk)
+    _jax.block_until_ready((out.c0, out.c1))
+    t0 = time.time()
+    for _ in range(iters):
+        out = eng.mul_rs(ct1, ct2, rlk)
+    _jax.block_until_ready((out.c0, out.c1))
+    ms = (time.time() - t0) / iters * 1e3
+    log(f"mul_rs: {ms:.2f} ms (logn=14, logq=438)")
+    print(json.dumps({
+        "metric": "mul_rs_ms",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(36.2 / ms, 3),   # round-1 starting latency
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -88,6 +88,7 @@ class HoistedGemvPlan(GemvPlan):
         super().__init__(eng, A)
         self._packs: dict[int, tuple] = {}
         self._rk_stacks: dict[int, tuple] = {}
+        self.fallbacks = 0   # times gemv_hoisted dropped to the classic path
 
     def bound_max(self) -> float:
         """Basis-sizing coefficient bound over all diagonals (size_bound, not
@@ -145,7 +146,17 @@ def gemv_hoisted(eng: CKKS, plan: HoistedGemvPlan, ct: Ciphertext,
     if (eng.dim_hoist(l, plan.bound_max() * plan.n1) > eng.dimswk_h
             or eng.ring.ntt_impl == "matmul"):
         # plaintext scale exceeds the switch-key hoisting margin (or the
-        # backend's NTT ordering has no permutation tables) — classic path
+        # backend's NTT ordering has no permutation tables) — classic path.
+        # This is a LARGE perf cliff (n1 key switches per giant step instead
+        # of 1), so it is loud: one warning + a counter on the plan.
+        import warnings
+        plan.fallbacks += 1
+        warnings.warn(
+            f"hoisted gemv falling back to the classic path at level {l} "
+            f"(dim_hoist={eng.dim_hoist(l, plan.bound_max() * plan.n1)} > "
+            f"dimswk_h={eng.dimswk_h} or ntt_impl={eng.ring.ntt_impl!r}); "
+            "raise hoist_bits at engine construction to keep hoisting",
+            stacklevel=2)
         return gemv(eng, None, ct, rk, plan=plan)
     dims_h, dimc, nu_max = plan.dims(eng, l)
     bnd_sum = plan.bound_max() * plan.n1

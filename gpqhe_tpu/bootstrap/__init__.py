@@ -106,13 +106,14 @@ def raised_delta(eng: CKKS, new_delta: float):
     """Temporarily raise the metadata scaling factor, like the reference's
     mutation of hectx.Delta (ref: src/he-bootstrap.c:510-516,543-545).
     The rescale SHIFT (by 2^logDelta) is unaffected — only encode scale and
-    the nu ledger change."""
-    old = eng.ctx.Delta
-    eng.ctx.Delta = float(new_delta)
+    the nu ledger change.  ENGINE-scoped: the shared HeContext is never
+    mutated (engines bound to the same context are unaffected)."""
+    old = eng._delta_override
+    eng._delta_override = float(new_delta)
     try:
         yield
     finally:
-        eng.ctx.Delta = old
+        eng._delta_override = old
 
 
 def raise_modulus(eng: CKKS, ct: Ciphertext, nu: float | None = None) -> Ciphertext:
@@ -189,7 +190,7 @@ def _exp_small_a(eng: CKKS, a: complex, ct: Ciphertext, rlk: SwitchKey,
     ctx = eng.ctx
     slots = ctx.slots
     av = complex(a) / (1 << iter)
-    pt = eng.ecd(np.full(slots, av, dtype=np.complex128), nu=ctx.Delta ** 2)
+    pt = eng.ecd(np.full(slots, av, dtype=np.complex128), nu=eng.Delta ** 2)
     act = eng.rs(eng.rs(eng.mulpt(ct, pt)))
     from ..algo.nonlinear import _he_exp_taylor
     out = _he_exp_taylor(eng, act, rlk)
@@ -198,9 +199,18 @@ def _exp_small_a(eng: CKKS, a: complex, ct: Ciphertext, rlk: SwitchKey,
     return out
 
 
+def min_bootstrap_iter(ctx) -> int:
+    """Smallest EvalSin iteration count whose range condition holds:
+    2^iter >= 4*pi*(h/2 + 1), h the (n/2-capped) secret Hamming weight —
+    the modulus-raise wrap |I| <~ h/2 + 1 must land inside the Taylor
+    window |2 pi t / q_src| / 2^iter <~ 0.5."""
+    h_eff = min(params.BLKSIZ, ctx.poly.n // 2)
+    return math.ceil(math.log2(4 * params.PI * (h_eff / 2 + 1)))
+
+
 def bootstrap(eng: CKKS, bctx: BootstrapContext, ct: Ciphertext,
               rlk: SwitchKey, ck: SwitchKey, rk: dict[int, SwitchKey],
-              iter: int) -> Ciphertext:
+              iter: int | None = None) -> Ciphertext:
     """Full pipeline: raise -> c2s -> mod-reduction-by-sin -> s2c -> rs.
 
     Scale plan (DIVERGES from the reference, whose raise-Delta-to-qL flow
@@ -214,23 +224,41 @@ def bootstrap(eng: CKKS, bctx: BootstrapContext, ct: Ciphertext,
         via exp, with the tiny constant 2pi/(q_src 2^iter) encoded at
         Delta^2 (see _exp_small_a) and the huge constant q_src/(4pi i)
         encoded at Delta with norm-based dimension sizing;
-      - needs |2pi t / q_src| / 2^iter <~ 0.5, i.e. 2^iter >~ 4pi(h/2+1);
+      - needs |2pi t / q_src| / 2^iter <~ 0.5, i.e. 2^iter >~ 4pi(h/2+1) —
+        VALIDATED here (iter=None derives the minimum from h);
       - consumes 10 + iter levels.
     """
     ctx = eng.ctx
+    iter_min = min_bootstrap_iter(ctx)
+    if iter is None:
+        iter = iter_min
+    elif iter < iter_min:
+        raise ValueError(
+            f"bootstrap iter={iter} violates the EvalSin range condition "
+            f"2^iter >= 4*pi*(h/2+1) (h={min(params.BLKSIZ, ctx.poly.n // 2)} "
+            f"needs iter >= {iter_min}); the result would be silent garbage. "
+            "Pass iter=None to derive the minimum.")
     q_src = float(ctx.q[ct.l])
-    ct = raise_modulus(eng, ct, nu=ctx.Delta)
+    if q_src / (4 * params.PI * eng.Delta) > 2.0 ** 8:
+        import warnings
+        warnings.warn(
+            f"bootstrap: q_src/(4*pi*Delta) = "
+            f"{q_src / (4 * params.PI * eng.Delta):.3g} is large; EvalSin's "
+            "approximation error is amplified by this factor in message "
+            "units and will likely swamp the payload (use a smaller base "
+            "modulus q_0 or a larger Delta)", stacklevel=2)
+    ct = raise_modulus(eng, ct, nu=eng.Delta)
     ct0, ct1 = coeff2slot(eng, bctx, ct, ck, rk)
 
     def mod_reduce(cti: Ciphertext) -> Ciphertext:
         # c2s output decodes to mu = t/Delta, so the exp argument constant is
         # a = 2 pi Delta / q_src, giving sin(a*mu) = sin(2 pi t / q_src).
-        a = 2 * params.PI * ctx.Delta / q_src
+        a = 2 * params.PI * eng.Delta / q_src
         ce = _exp_small_a(eng, a * 1j, cti, rlk, iter)
         ce_neg = eng.conj(ce.copy(), ck)
         diff = eng.sub(ce, ce_neg)           # 2i sin(2pi t / q_src)
         # divide by 2i and by (2 pi / q_src): output message ~ (t mod q_src)/Delta
-        b = q_src / (4j * params.PI * ctx.Delta)
+        b = q_src / (4j * params.PI * eng.Delta)
         ptb = eng.ecd(np.full(ctx.slots, b, dtype=np.complex128))
         return eng.rs(eng.mulpt(diff, ptb))
 

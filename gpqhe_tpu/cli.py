@@ -183,7 +183,7 @@ def main(argv: list[str] | None = None) -> int:
         elif op == "coeff2slot":
             with bs.raised_delta(eng, float(ctx.q[ct.l])):
                 ct_r = ct.copy()
-                ct_r.nu = eng.ctx.Delta
+                ct_r.nu = eng.Delta
                 ct0, ct1 = bs.coeff2slot(eng, bctx, ct_r, ck, rk)
                 out = bs.slot2coeff(eng, bctx, ct0, ct1, rk)
             out.nu = float(1 << p["logDelta"])

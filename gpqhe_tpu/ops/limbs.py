@@ -91,6 +91,7 @@ def geq_const(a, c_limbs):
     summed; the sign of the total is the lexicographic comparison (K <= 62
     keeps the weights exact in i64)."""
     k = a.shape[-1]
+    assert k <= 62, f"geq_const weighted-sign trick is exact only for K <= 62 limbs (got {k})"
     c = c_limbs if c_limbs.ndim == a.ndim else jnp.broadcast_to(c_limbs, a.shape)
     sgn = (a > c).astype(jnp.int64) - (a < c).astype(jnp.int64)
     w = jnp.asarray(np.left_shift(np.int64(1), np.arange(k)))
@@ -241,22 +242,34 @@ def from_digits16(d, k_out: int):
 def mul_const_mod2k(a, c16: np.ndarray, k_out: int):
     """a * c mod 2^(32 k_out), c given as host u16-digit array (np.uint32/u64).
 
-    Digit convolution keeping only the low 2*k_out digits; per-digit sums are
-    bounded by 2*k_out * 2^32 < 2^48, safe in u64.
+    Exact bf16 MXU digit convolution: 8-bit digit planes of both operands
+    are bf16-exact, every product < 2^16, and the contraction (4K <= 256
+    terms) keeps the f32 accumulator integer-exact (< 2^24); adjacent 8-bit
+    columns fold into 16-bit digit sums (< 2^31) before carry resolution.
     """
-    d_out = 2 * k_out
-    a16 = to_digits16(a).astype(jnp.float64)  # [..., 2K]
-    da = a16.shape[-1]
+    d8_out = 4 * k_out
+    k = a.shape[-1]
+    assert 4 * k <= 256, "contraction would overflow the exact-f32 window"
+    a64 = a.astype(jnp.uint64)
+    a8 = jnp.stack(
+        [((a64 >> jnp.uint64(8 * t)) & jnp.uint64(0xFF)) for t in range(4)],
+        axis=-1).reshape(a.shape[:-1] + (4 * k,)).astype(jnp.bfloat16)
     c = np.asarray(c16, dtype=np.uint64)
-    # Toeplitz band: M[u, s] = c16[s - u]; digit sums <= d_out * 2^32 < 2^37,
-    # exact in f64 (also on TPU's emulated f64 — verified range).
-    M = np.zeros((da, d_out), dtype=np.float64)
-    for u in range(da):
-        hi = min(d_out - u, c.shape[0])
+    c8 = np.zeros(2 * c.shape[0], dtype=np.float32)
+    c8[0::2] = (c & np.uint64(0xFF)).astype(np.float32)
+    c8[1::2] = ((c >> np.uint64(8)) & np.uint64(0xFF)).astype(np.float32)
+    # Toeplitz band: M[u, s] = c8[s - u]
+    M = np.zeros((4 * k, d8_out), dtype=np.float32)
+    for u in range(4 * k):
+        hi = min(d8_out - u, c8.shape[0])
         if hi > 0:
-            M[u, u:u + hi] = c[:hi].astype(np.float64)
-    acc = jnp.matmul(a16, jnp.asarray(M))
-    return from_digits16(acc.astype(jnp.uint64), k_out)
+            M[u, u:u + hi] = c8[:hi]
+    part = jnp.einsum("...k,ks->...s", a8,
+                      jnp.asarray(M, dtype=jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    s8 = part.astype(jnp.int32).astype(jnp.uint64)
+    s16 = s8[..., 0::2] + (s8[..., 1::2] << jnp.uint64(8))
+    return from_digits16(s16, k_out)
 
 
 def to_f64_centered(a, q_bits: int):

@@ -220,48 +220,58 @@ def _scalars(sc_ref):
     return plo, phi, p2lo, p2hi, p4lo, p4hi
 
 
-def _ntt_kernel(R: int, P: int, inverse: bool, scaled: bool,
+def _ntt_kernel(R: int, P: int, F: int, inverse: bool, scaled: bool,
                 a_ref, zb_ref, zbs_ref, zt_ref, zts_ref, scc_ref, scr_ref,
                 out_ref):
-    """Grid-free single-prime kernel over a P-poly fold (the remote Mosaic
+    """Grid-free kernel over an (F-prime x P-poly) fold (the remote Mosaic
     helper rejects any gridded pallas_call — see CLAUDE.md).  a_ref is
-    [2, P*R, C], poly-MAJOR (row = j*R + r), so each poly slab runs through
-    the stage pipeline independently while sharing the prime's zeta tables
-    and scalars.  Scalars arrive lane-replicated: scc [2, 8, C] rows =
+    [2, F*P*R, C], prime-major poly-major (row = (f*P + j)*R + r): each
+    (prime, poly) slab runs through the stage pipeline independently; the
+    P polys of one prime share its zeta tables.  Per-prime tables stack
+    along the row axis: zb [2, F*R, C], zt [2, F*128, R]; scalars arrive
+    lane-replicated per prime: scc [2, F*8, C] rows (f*8 + row) =
     (p, 2p, 4p, ninv, ninv', ninvphat, ninvphat') for the normal domain,
-    scr [2, 8, R] for the transposed domain.  scaled=True makes the INTT's
-    final scaling multiply by n^-1 * phat^-1 (CRT-reconstruct fusion)."""
-    sc_c = _scalars(scc_ref)
-    sc_r = _scalars(scr_ref)
-    srow = 5 if scaled else 3
-    nlo = scc_ref[0, srow:srow + 1, :]
-    nhi = scc_ref[1, srow:srow + 1, :]
-    nslo = scc_ref[0, srow + 1:srow + 2, :]
-    nshi = scc_ref[1, srow + 1:srow + 2, :]
-    plo_r, phi_r, p2lo_r, p2hi_r = sc_r[0], sc_r[1], sc_r[2], sc_r[3]
-    plo_c, phi_c, p2lo_c, p2hi_c = sc_c[0], sc_c[1], sc_c[2], sc_c[3]
-    for j in range(P):
-        alo = a_ref[0, j * R:(j + 1) * R, :]
-        ahi = a_ref[1, j * R:(j + 1) * R, :]
-        if not inverse:
-            alo, ahi = _big_stages(alo, ahi, zb_ref, zbs_ref, sc_c, R, False)
-            tlo, thi = alo.T, ahi.T
-            tlo, thi = _tail_stages(tlo, thi, zt_ref, zts_ref, sc_r, R, False)
-            # exact reduction to [0, p)
-            tlo, thi = _cond_sub(tlo, thi, p2lo_r, p2hi_r)
-            tlo, thi = _cond_sub(tlo, thi, plo_r, phi_r)
-            alo, ahi = tlo.T, thi.T
-        else:
-            tlo = a_ref[0, j * R:(j + 1) * R, :].T
-            thi = a_ref[1, j * R:(j + 1) * R, :].T
-            tlo, thi = _tail_stages(tlo, thi, zt_ref, zts_ref, sc_r, R, True)
-            alo, ahi = tlo.T, thi.T
-            alo, ahi = _big_stages(alo, ahi, zb_ref, zbs_ref, sc_c, R, True)
-            alo, ahi = _shoup_mul(alo, ahi, nlo, nhi, nslo, nshi,
-                                  plo_c, phi_c, p2lo_c, p2hi_c)
-            alo, ahi = _cond_sub(alo, ahi, plo_c, phi_c)
-        out_ref[0, j * R:(j + 1) * R, :] = alo
-        out_ref[1, j * R:(j + 1) * R, :] = ahi
+    scr [2, F*8, R] for the transposed domain.  scaled=True makes the
+    INTT's final scaling multiply by n^-1 * phat^-1 (CRT-reconstruct
+    fusion)."""
+    for f in range(F):
+        zb = zb_ref[:, f * R:(f + 1) * R, :]
+        zbs = zbs_ref[:, f * R:(f + 1) * R, :]
+        zt = zt_ref[:, f * _C:(f + 1) * _C, :]
+        zts = zts_ref[:, f * _C:(f + 1) * _C, :]
+        scc = scc_ref[:, f * 8:(f + 1) * 8, :]
+        scr = scr_ref[:, f * 8:(f + 1) * 8, :]
+        sc_c = _scalars(scc)
+        sc_r = _scalars(scr)
+        srow = 5 if scaled else 3
+        nlo = scc[0, srow:srow + 1, :]
+        nhi = scc[1, srow:srow + 1, :]
+        nslo = scc[0, srow + 1:srow + 2, :]
+        nshi = scc[1, srow + 1:srow + 2, :]
+        plo_r, phi_r, p2lo_r, p2hi_r = sc_r[0], sc_r[1], sc_r[2], sc_r[3]
+        plo_c, phi_c, p2lo_c, p2hi_c = sc_c[0], sc_c[1], sc_c[2], sc_c[3]
+        for j in range(P):
+            row = (f * P + j) * R
+            alo = a_ref[0, row:row + R, :]
+            ahi = a_ref[1, row:row + R, :]
+            if not inverse:
+                alo, ahi = _big_stages(alo, ahi, zb, zbs, sc_c, R, False)
+                tlo, thi = alo.T, ahi.T
+                tlo, thi = _tail_stages(tlo, thi, zt, zts, sc_r, R, False)
+                # exact reduction to [0, p)
+                tlo, thi = _cond_sub(tlo, thi, p2lo_r, p2hi_r)
+                tlo, thi = _cond_sub(tlo, thi, plo_r, phi_r)
+                alo, ahi = tlo.T, thi.T
+            else:
+                tlo, thi = alo.T, ahi.T
+                tlo, thi = _tail_stages(tlo, thi, zt, zts, sc_r, R, True)
+                alo, ahi = tlo.T, thi.T
+                alo, ahi = _big_stages(alo, ahi, zb, zbs, sc_c, R, True)
+                alo, ahi = _shoup_mul(alo, ahi, nlo, nhi, nslo, nshi,
+                                      plo_c, phi_c, p2lo_c, p2hi_c)
+                alo, ahi = _cond_sub(alo, ahi, plo_c, phi_c)
+            out_ref[0, row:row + R, :] = alo
+            out_ref[1, row:row + R, :] = ahi
 
 
 # ---------------------------------------------------------------------------
@@ -273,11 +283,13 @@ class PallasNttPlan:
     dim: int
     n: int
     P: int                  # poly-fold factor (polys per kernel call)
-    scc: jnp.ndarray        # u32[dim, 2, 8, C]: p/2p/4p/ninv/ninv' lane-rep
-    scr: jnp.ndarray        # u32[dim, 2, 8, R]
-    zbig_f: jnp.ndarray     # u32[dim, 2, R, C] standard-domain zetas
-    zbigs_f: jnp.ndarray    # u32[dim, 2, R, C] Shoup companions
-    ztail_f: jnp.ndarray    # u32[dim, 2, 128, R]
+    F: int                  # prime-fold factor (primes per kernel call)
+    dimp: int               # dim padded up to a multiple of F
+    scc: jnp.ndarray        # u32[G, 2, F*8, C]: p/2p/4p/ninv/ninv' lane-rep
+    scr: jnp.ndarray        # u32[G, 2, F*8, R]
+    zbig_f: jnp.ndarray     # u32[G, 2, F*R, C] standard-domain zetas
+    zbigs_f: jnp.ndarray    # u32[G, 2, F*R, C] Shoup companions
+    ztail_f: jnp.ndarray    # u32[G, 2, F*128, R]
     ztails_f: jnp.ndarray
     zbig_i: jnp.ndarray
     zbigs_i: jnp.ndarray
@@ -334,7 +346,20 @@ def _shoup(zstd: np.ndarray, p: int) -> np.ndarray:
     return np.array([(int(z) << 64) // p for z in zstd], dtype=np.uint64)
 
 
-def make_pallas_plan(pctx, dim: int, P: int = 1) -> PallasNttPlan:
+def _group_primes(arrs: list[np.ndarray], F: int) -> jnp.ndarray:
+    """Stack per-prime tables [2, X, Y] -> [G, 2, F*X, Y], padding the prime
+    count to a multiple of F by replicating the last prime's table (padded
+    outputs are discarded by the wrapper)."""
+    dim = len(arrs)
+    dimp = ((dim + F - 1) // F) * F
+    arrs = arrs + [arrs[-1]] * (dimp - dim)
+    a = np.stack(arrs)                                    # [dimp, 2, X, Y]
+    G = dimp // F
+    a = a.reshape(G, F, 2, a.shape[2], a.shape[3]).transpose(0, 2, 1, 3, 4)
+    return jnp.asarray(a.reshape(G, 2, F * a.shape[3], a.shape[4]))
+
+
+def make_pallas_plan(pctx, dim: int, P: int = 1, F: int = 1) -> PallasNttPlan:
     n = pctx.n
     assert n >= 1024, "pallas NTT backend needs n >= 1024"
     R = n // _C
@@ -364,13 +389,14 @@ def make_pallas_plan(pctx, dim: int, P: int = 1) -> PallasNttPlan:
         zbsi.append(_lane_rep_big(zis, R))
         zti.append(_tail_planes(zi, n, R, True))
         ztsi.append(_tail_planes(zis, n, R, True))
+    dimp = ((dim + F - 1) // F) * F
     return PallasNttPlan(
-        dim=dim, n=n, P=P,
-        scc=jnp.asarray(np.stack(scc)), scr=jnp.asarray(np.stack(scr)),
-        zbig_f=jnp.asarray(np.stack(zbf)), zbigs_f=jnp.asarray(np.stack(zbsf)),
-        ztail_f=jnp.asarray(np.stack(ztf)), ztails_f=jnp.asarray(np.stack(ztsf)),
-        zbig_i=jnp.asarray(np.stack(zbi)), zbigs_i=jnp.asarray(np.stack(zbsi)),
-        ztail_i=jnp.asarray(np.stack(zti)), ztails_i=jnp.asarray(np.stack(ztsi)),
+        dim=dim, n=n, P=P, F=F, dimp=dimp,
+        scc=_group_primes(scc, F), scr=_group_primes(scr, F),
+        zbig_f=_group_primes(zbf, F), zbigs_f=_group_primes(zbsf, F),
+        ztail_f=_group_primes(ztf, F), ztails_f=_group_primes(ztsf, F),
+        zbig_i=_group_primes(zbi, F), zbigs_i=_group_primes(zbsi, F),
+        ztail_i=_group_primes(zti, F), ztails_i=_group_primes(ztsi, F),
     )
 
 
@@ -389,41 +415,53 @@ def _join(x, n):
 def ntt_pallas(a, plan: PallasNttPlan, inverse: bool = False,
                interpret: bool | None = None, scaled: bool = False):
     """u64[dim, n] (plan.P == 1) or u64[P, dim, n] -> same shape.  One
-    grid-free pallas call per prime covering all P polys of the fold
-    (identical kernels — XLA dedups the compilations); compose under jit.
-    scaled=True: INTT output additionally multiplied by phat^-1 per prime."""
+    grid-free pallas call per F-prime group covering all P polys of the
+    fold (identical kernels — XLA dedups the compilations); compose under
+    jit.  scaled=True: INTT output additionally multiplied by phat^-1 per
+    prime."""
     if interpret is None:
         interpret = INTERPRET
-    P = plan.P
+    P, F = plan.P, plan.F
     if P == 1:
         dim, n = a.shape
         R = n // _C
         a32 = _split(a, R)                              # [dim, 2, R, C]
+        a32 = a32.reshape(dim, 2, R, _C)
     else:
         Pa, dim, n = a.shape
         assert Pa == P, (Pa, P)
         R = n // _C
         a32 = _split(a, R)                              # [P, dim, 2, R, C]
         a32 = a32.transpose(1, 2, 0, 3, 4).reshape(dim, 2, P * R, _C)
+    dimp, G = plan.dimp, plan.dimp // F
+    if dimp != dim:
+        pad = [(0, dimp - dim), (0, 0), (0, 0), (0, 0)]
+        a32 = jnp.pad(a32, pad)
+    if F > 1:
+        a32 = a32.reshape(G, F, 2, P * R, _C).transpose(0, 2, 1, 3, 4)
+        a32 = a32.reshape(G, 2, F * P * R, _C)
     if inverse:
         zb, zbs = plan.zbig_i, plan.zbigs_i
         zt, zts = plan.ztail_i, plan.ztails_i
     else:
         zb, zbs = plan.zbig_f, plan.zbigs_f
         zt, zts = plan.ztail_f, plan.ztails_f
-    kernel = functools.partial(_ntt_kernel, R, P, inverse, scaled)
+    kernel = functools.partial(_ntt_kernel, R, P, F, inverse, scaled)
     call = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, P * R, _C), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((2, F * P * R, _C), jnp.uint32),
         interpret=interpret,
     )
 
-    # one call site via lax.map -> a single Mosaic compilation for all primes
+    # one call site via lax.map -> a single Mosaic compilation for all groups
     def body(args):
         return call(*args)
     out = jax.lax.map(body, (a32, zb, zbs, zt, zts, plan.scc, plan.scr))
+    if F > 1:
+        out = out.reshape(G, 2, F, P * R, _C).transpose(0, 2, 1, 3, 4)
+    out = out.reshape(dimp, 2, P * R, _C)[:dim]
     if P == 1:
         return _join(out, n)
     out = out.reshape(dim, 2, P, R, _C).transpose(2, 0, 1, 3, 4)

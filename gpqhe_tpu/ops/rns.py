@@ -52,8 +52,6 @@ class ReconPlan:
     Phalf_limbs: np.ndarray  # u32[ks] floor(P/2)
     MminusP_limbs: np.ndarray  # u32[ks] 2^(32 ks) - P
     inv_p: np.ndarray       # f64[dim]
-    phat32: np.ndarray      # u64[dim] phat_d mod 2^32 (alpha residue check)
-    P32: int                # P mod 2^32
     logP: int               # P.bit_length() (fast-path margin validation)
 
 
@@ -89,8 +87,6 @@ def make_recon_plan(poly_ctx, dim: int) -> ReconPlan:
         Phalf_limbs=bigint.int_to_limbs(b.P_half, ks),
         MminusP_limbs=bigint.int_to_limbs((1 << (32 * ks)) - b.P, ks),
         inv_p=np.array([1.0 / p for p in b.primes], dtype=np.float64),
-        phat32=np.array([ph & 0xFFFFFFFF for ph in b.phat], dtype=np.uint64),
-        P32=b.P & 0xFFFFFFFF,
         logP=b.P.bit_length(),
     )
 
@@ -135,19 +131,56 @@ def decompose(a, ba: BasisArrays, weights) -> jnp.ndarray:
     return decompose_core(a, ba.ps, ba.pinv, weights)
 
 
-def phat_shift_table(plan: ReconPlan) -> np.ndarray:
-    """f64[4, dim, ds]: phat_shift[t][d, s] = phat16[d, s - t]."""
-    ds = plan.ds
-    out = np.zeros((4, plan.dim, ds), dtype=np.float64)
-    for t in range(4):
-        out[t, :, t:] = plan.phat16[:, :ds - t].astype(np.float64)
+# Chunk size (primes) for the exact bf16 MXU digit matmul: one chunk's
+# contraction is 8 digit planes x _CHUNK_PRIMES primes, so every f32
+# partial sum is <= 8 * 32 * 255^2 < 2^24 — integer-exact in the MXU's
+# f32 accumulator.  Chunk results are summed exactly in i32.
+_CHUNK_PRIMES = 32
+
+
+def phat_plane_table(plan: ReconPlan) -> np.ndarray:
+    """f32[dim, 8, 2*ds]: 8-bit digit planes of phat_d, shifted by the source
+    digit position t (row (d, t), col s holds phat8[d, s - t]).  Operand of
+    the exact bf16 MXU digit matmul in reconstruct_core: 8-bit digits make
+    both matmul inputs bf16-exact, so the MXU's native bf16 x bf16 -> f32
+    path computes the digit convolution EXACTLY (every product < 2^16,
+    chunked accumulation < 2^24)."""
+    ds8 = 2 * plan.ds
+    phat8 = np.zeros((plan.dim, ds8), dtype=np.float32)
+    phat8[:, 0::2] = (plan.phat16 & np.uint64(0xFF)).astype(np.float32)
+    phat8[:, 1::2] = ((plan.phat16 >> np.uint64(8)) & np.uint64(0xFF)).astype(np.float32)
+    out = np.zeros((plan.dim, 8, ds8), dtype=np.float32)
+    for t in range(8):
+        out[:, t, t:] = phat8[:, :ds8 - t]
     return out
 
 
-def reconstruct_core(res, ps, pinv, phatinv_mont, phat_shift, inv_p, negP16,
+def digit_matmul_u16(y8, planes):
+    """Exact digit convolution on the MXU: y8 [..., K, n] bf16 (8-bit digit
+    planes, K = 8 * dim), planes [K, kd8] bf16 (shifted 8-bit weight digits)
+    -> u64 [..., n, kd8 // 2] sums of 16-bit digit positions.
+
+    Every product < 2^16 and every chunk accumulates <= 8 * _CHUNK_PRIMES
+    terms, so the f32 MXU accumulator is integer-exact per chunk; chunks are
+    summed exactly in i32, and adjacent 8-bit columns fold into 16-bit digit
+    sums (< 2^34) in u64."""
+    K = y8.shape[-2]
+    step = 8 * _CHUNK_PRIMES
+    acc = None
+    for c0 in range(0, K, step):
+        part = jnp.einsum("...kn,ks->...ns", y8[..., c0:c0 + step, :],
+                          planes[c0:c0 + step],
+                          preferred_element_type=jnp.float32)
+        pi = part.astype(jnp.int32)
+        acc = pi if acc is None else acc + pi
+    s8 = acc.astype(jnp.uint64)
+    return s8[..., 0::2] + (s8[..., 1::2] << jnp.uint64(8))
+
+
+def reconstruct_core(res, ps, pinv, phatinv_mont, phat_planes, inv_p, negP16,
                      MminusP_limbs, P_limbs, Phalf_limbs, ks: int, dim_total: int,
                      center: bool = True, axis_name: str | None = None,
-                     k_out: int | None = None, phat32=None, P32: int | None = None,
+                     k_out: int | None = None,
                      pre_scaled: bool = False):
     """All-arrays CRT reconstruction (shardable over the prime axis).
 
@@ -155,16 +188,20 @@ def reconstruct_core(res, ps, pinv, phatinv_mont, phat_shift, inv_p, negP16,
     the digit sums + alpha estimate are combined with a psum over that mesh
     axis (the CRT partial-sum collective, SURVEY.md §2).
 
-    When k_out is given (with phat32/P32), the TRUNCATED fast path runs: only
-    the low 2*k_out digit columns of S are accumulated (the value is needed
-    mod 2^(32 k_out) only — callers immediately mask to q_l), and the
-    alpha off-by-one is fixed by an EXACT mod-2^32 residue check instead of
-    full-width limb compares: limb 0 of the carried result must equal
-    (S - alpha*P) mod 2^32; on mismatch the correction direction follows the
-    f64 fraction (|af - S/P| < 2^-39 << 1/2, so the side is certain).  For
-    center=True the smod-P/2 decision ALSO comes from the f64 fraction,
-    which is only valid when |value| <= P/8 — the caller must validate the
-    magnitude margin (reconstruct() checks logP - bound_bits >= 3).
+    When k_out is given (center=True ONLY — reconstruct() enforces this),
+    the TRUNCATED fast path runs: only the low 2*k_out digit columns of S
+    are accumulated (the value is needed mod 2^(32 k_out) only — callers
+    immediately mask to q_l).  Correctness argument: with v = S mod P and
+    alpha_true = floor(S/P), the f64 estimate af = S/P + eps has
+    |eps| < dim * 2^-51, so frac = af - floor(af) equals
+    (alpha_true - floor(af)) + v/P + eps.  floor(af) can differ from
+    alpha_true only when v/P is within |eps| of 0 or 1, and the caller's
+    proven magnitude margin (reconstruct() checks logP - bound_bits >= 3,
+    i.e. |value| <= P/4) keeps frac inside [0, 1/4+eps] u [3/4-eps, 1+eps];
+    subtracting P exactly when frac > 1/2 therefore yields the centered
+    value mod 2^(32 k_out) and absorbs the floor off-by-one in one step.
+    center=False has no such self-correcting decision at truncated width,
+    so it always takes the exact full-width-compare path below.
     """
     psb = ps[:, None]
     pinvb = pinv[:, None]
@@ -174,37 +211,30 @@ def reconstruct_core(res, ps, pinv, phatinv_mont, phat_shift, inv_p, negP16,
         y = res
     else:
         y = mont_mul(res, phatinv_mont[:, None], psb, pinvb)  # [..., dim, n]
-    # S = sum_d y_d * phat_d in 16-bit digit planes, accumulated as ONE EXACT
-    # f64 matmul with contraction over (4 shifts x dim): every product
-    # <= (2^16-1)^2 < 2^32 and every digit sum <= 4*dim*2^32 < 2^41 << 2^53,
-    # so f64 arithmetic here is integer-exact (verified exact on TPU's
-    # emulated f64 in this range; addition order is immaterial since all
-    # partial sums are exact integers).
+    # S = sum_d y_d * phat_d via the exact bf16 MXU digit matmul (8-bit
+    # digit planes; see digit_matmul_u16 for the exactness argument).
     dim_here = res.shape[-2]
     n_here = res.shape[-1]
-    kd = min(2 * k_out, phat_shift.shape[-1]) if fast else phat_shift.shape[-1]
-    yts = jnp.stack(
-        [((y >> jnp.uint64(16 * t)) & jnp.uint64(0xFFFF)).astype(jnp.float64)
-         for t in range(4)], axis=-3)                     # [..., 4, dim, n]
-    Y = yts.reshape(y.shape[:-2] + (4 * dim_here, n_here))
-    W = phat_shift[..., :kd].reshape(4 * dim_here, kd)
-    s_digits = jnp.einsum("...kn,ks->...ns", Y, W)
+    kd8_full = phat_planes.shape[-1]
+    kd8 = min(4 * k_out, kd8_full) if fast else kd8_full
+    kd = kd8 // 2
+    y8 = jnp.stack(
+        [((y >> jnp.uint64(8 * t)) & jnp.uint64(0xFF)).astype(jnp.bfloat16)
+         for t in range(8)], axis=-2)                     # [..., dim, 8, n]
+    Y = y8.reshape(y.shape[:-2] + (8 * dim_here, n_here))
+    W = phat_planes[..., :kd8].reshape(8 * dim_here, kd8).astype(jnp.bfloat16)
+    s_digits = digit_matmul_u16(Y, W)                     # u64[..., n, kd]
     # alpha = floor(S / P) estimated in f64, corrected exactly below
     af = jnp.einsum("...dn,d->...n", y.astype(jnp.float64), inv_p)
-    if fast:
-        # S mod 2^32 for the exact off-by-one detector (wrapping u64 is fine)
-        s32 = jnp.sum(y * phat32[:, None], axis=-2)       # [..., n] u64
     if axis_name is not None:
         import jax
         s_digits = jax.lax.psum(s_digits, axis_name)
         af = jax.lax.psum(af, axis_name)
-        if fast:
-            s32 = jax.lax.psum(s32, axis_name)
     alpha = jnp.clip(jnp.floor(af), 0.0, float(dim_total))
-    # S - alpha*P == S + alpha*(M - P) mod M  (still exact in f64: < 2^42)
-    s_digits = s_digits + alpha[..., None] * negP16[:kd]
+    # S - alpha*P == S + alpha*(M - P) mod M: digit sums stay < 2^34 + 2^23
+    s_digits = s_digits + alpha.astype(jnp.uint64)[..., None] * negP16[:kd]
     if not fast:
-        r = lb.from_digits16(s_digits.astype(jnp.uint64), ks)  # u32[..., n, ks]
+        r = lb.from_digits16(s_digits, ks)                # u32[..., n, ks]
         # correct alpha off-by-one: E in (-P, 2P)
         r = lb.select(lb.geq_const(r, MminusP_limbs),
                       lb.add(r, jnp.broadcast_to(P_limbs, r.shape)), r)
@@ -215,20 +245,13 @@ def reconstruct_core(res, ps, pinv, phatinv_mont, phat_shift, inv_p, negP16,
             r = lb.select(lb.geq_const(r, Phalf_limbs),
                           lb.sub(r, jnp.broadcast_to(P_limbs, r.shape)), r)
         return r
-    r = lb.from_digits16(s_digits.astype(jnp.uint64), k_out)
-    # off-by-one: limb 0 must equal (S - alpha*P) mod 2^32
-    a64 = alpha.astype(jnp.uint64)
-    expected = (s32 - a64 * jnp.uint64(P32)) & jnp.uint64(0xFFFFFFFF)
-    mismatch = r[..., 0].astype(jnp.uint64) != expected
-    up = (af - alpha) > 0.5          # true alpha = alpha_est + 1
+    # fast truncated path (center=True only): the frac > 1/2 decision
+    # absorbs the alpha floor off-by-one under the caller's magnitude
+    # margin (see docstring)
+    r = lb.from_digits16(s_digits, k_out)
     Plow = jnp.broadcast_to(P_limbs[:k_out], r.shape)
-    r = lb.select(mismatch & up, lb.sub(r, Plow), r)
-    r = lb.select(mismatch & ~up, lb.add(r, Plow), r)
-    if center:
-        corr = jnp.where(mismatch, jnp.where(up, 1.0, -1.0), 0.0)
-        frac = af - alpha - corr     # = (value mod P)/P up to 2^-39
-        r = lb.select(frac > 0.5, lb.sub(r, Plow), r)
-    return r
+    frac = af - alpha
+    return lb.select(frac > 0.5, lb.sub(r, Plow), r)
 
 
 def reconstruct(res, ba: BasisArrays, plan: ReconPlan, center: bool = True,
@@ -243,24 +266,25 @@ def reconstruct(res, ba: BasisArrays, plan: ReconPlan, center: bool = True,
     divide-by-P path, which needs r = c mod P exactly).
 
     k_out (optional): compute the value mod 2^(32 k_out) only (truncated
-    digit accumulation + residue-checked alpha instead of full-width
-    compares).  For center=True the caller must pass bound_bits — a proven
-    bound |value| < 2^bound_bits — and the fast path engages only when the
-    basis leaves >= 3 bits of margin (it always does for the dim_* formulas
-    in context.py, which overshoot by most of one 59-bit prime)."""
+    digit accumulation; the alpha floor off-by-one is absorbed by the f64
+    frac decision).  Engages for center=True only: the caller must pass
+    bound_bits — a proven bound |value| < 2^bound_bits — and the fast path
+    runs only when the basis leaves >= 3 bits of margin (it always does for
+    the dim_* formulas in context.py, which overshoot by most of one 59-bit
+    prime).  center=False always takes the exact full-width path (its
+    corrections need full-width compares; the key-switch call site uses the
+    full ks width anyway)."""
     fast_ok = (k_out is not None and k_out <= plan.ks
-               and (not center
-                    or (bound_bits is not None
-                        and plan.logP - bound_bits >= 3)))
+               and center
+               and bound_bits is not None
+               and plan.logP - bound_bits >= 3)
     return reconstruct_core(
         res, ba.ps, ba.pinv, ba.phatinv_mont,
-        jnp.asarray(phat_shift_table(plan)),
+        jnp.asarray(phat_plane_table(plan)),
         jnp.asarray(plan.inv_p),
-        jnp.asarray(plan.negP16.astype(np.float64)),
+        jnp.asarray(plan.negP16),
         jnp.asarray(plan.MminusP_limbs), jnp.asarray(plan.P_limbs),
         jnp.asarray(plan.Phalf_limbs),
         ks=plan.ks, dim_total=plan.dim, center=center,
         k_out=k_out if fast_ok else None,
-        phat32=jnp.asarray(plan.phat32) if fast_ok else None,
-        P32=plan.P32 if fast_ok else None,
         pre_scaled=pre_scaled)

@@ -73,9 +73,9 @@ def build_sharded_poly_mul(pctx: PolyContext, dim: int, k_in: int,
         phinv=jnp.array(b.phatinv_mont),
         w=jnp.asarray(w),
         zetas=jnp.array(pctx.zetas(dim)), zetas_inv=jnp.array(pctx.zetas_inv(dim)),
-        phat_shift=jnp.asarray(rns_ops.phat_shift_table(plan)),
+        phat_shift=jnp.asarray(rns_ops.phat_plane_table(plan)),
         inv_p=jnp.asarray(plan.inv_p),
-        negP16=jnp.asarray(plan.negP16.astype(np.float64)),
+        negP16=jnp.asarray(plan.negP16),
         mmp=jnp.asarray(plan.MminusP_limbs), plimbs=jnp.asarray(plan.P_limbs),
         phalf=jnp.asarray(plan.Phalf_limbs),
     )
@@ -83,7 +83,7 @@ def build_sharded_poly_mul(pctx: PolyContext, dim: int, k_in: int,
         ps=P("limb"), pinv=P("limb"), ninv=P("limb"), r2=P("limb"),
         phinv=P("limb"), w=P("limb", None),
         zetas=P("limb", None), zetas_inv=P("limb", None),
-        phat_shift=P(None, "limb", None),
+        phat_shift=P("limb", None, None),
         inv_p=P("limb"),
         negP16=P(), mmp=P(), plimbs=P(), phalf=P(),
     )
@@ -242,23 +242,23 @@ def _recon_consts(pctx: PolyContext, dim_basis: int, dim_padded: int,
     b = pctx.basis(dim_basis)
     phinv = np.zeros(dim_padded, dtype=np.uint64)
     phinv[:dim_basis] = b.phatinv_mont
-    shift = rns_ops.phat_shift_table(plan)           # [4, dim_basis, ds]
-    shift_p = np.zeros((4, dim_padded, shift.shape[2]), dtype=np.float64)
-    shift_p[:, :dim_basis, :] = shift
+    planes = rns_ops.phat_plane_table(plan)          # [dim_basis, 8, 2*ds]
+    planes_p = np.zeros((dim_padded,) + planes.shape[1:], dtype=np.float32)
+    planes_p[:dim_basis] = planes
     inv_p = np.zeros(dim_padded, dtype=np.float64)
     inv_p[:dim_basis] = plan.inv_p
     consts = {
         f"{prefix}_phinv": jnp.asarray(phinv),
-        f"{prefix}_shift": jnp.asarray(shift_p),
+        f"{prefix}_shift": jnp.asarray(planes_p),
         f"{prefix}_invp": jnp.asarray(inv_p),
-        f"{prefix}_negP16": jnp.asarray(plan.negP16.astype(np.float64)),
+        f"{prefix}_negP16": jnp.asarray(plan.negP16),
         f"{prefix}_mmp": jnp.asarray(plan.MminusP_limbs),
         f"{prefix}_plimbs": jnp.asarray(plan.P_limbs),
         f"{prefix}_phalf": jnp.asarray(plan.Phalf_limbs),
     }
     specs = {
         f"{prefix}_phinv": P("limb"),
-        f"{prefix}_shift": P(None, "limb", None),
+        f"{prefix}_shift": P("limb", None, None),
         f"{prefix}_invp": P("limb"),
         f"{prefix}_negP16": P(),
         f"{prefix}_mmp": P(), f"{prefix}_plimbs": P(), f"{prefix}_phalf": P(),
@@ -452,9 +452,9 @@ def build_sharded_poly_mul_3d(pctx: PolyContext, dim: int, k_in: int,
         w=jnp.asarray(w),
         zl_f=jnp.asarray(cp["zl_f"]), zl_i=jnp.asarray(cp["zl_i"]),
         zc_f=jnp.asarray(cp["zc_f"]), zc_i=jnp.asarray(cp["zc_i"]),
-        phat_shift=jnp.asarray(rns_ops.phat_shift_table(plan)),
+        phat_shift=jnp.asarray(rns_ops.phat_plane_table(plan)),
         inv_p=jnp.asarray(plan.inv_p),
-        negP16=jnp.asarray(plan.negP16.astype(np.float64)),
+        negP16=jnp.asarray(plan.negP16),
         mmp=jnp.asarray(plan.MminusP_limbs), plimbs=jnp.asarray(plan.P_limbs),
         phalf=jnp.asarray(plan.Phalf_limbs),
     )
@@ -463,7 +463,7 @@ def build_sharded_poly_mul_3d(pctx: PolyContext, dim: int, k_in: int,
         phinv=P("limb"), w=P("limb", None),
         zl_f=P("limb", "coeff", None), zl_i=P("limb", "coeff", None),
         zc_f=P("limb", None, "coeff"), zc_i=P("limb", None, "coeff"),
-        phat_shift=P(None, "limb", None),
+        phat_shift=P("limb", None, None),
         inv_p=P("limb"),
         negP16=P(), mmp=P(), plimbs=P(), phalf=P(),
     )

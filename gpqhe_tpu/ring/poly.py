@@ -57,26 +57,46 @@ class RingEngine:
         return self._ntt4[dim]
 
     # Poly-fold cap for the pallas kernel: one grid-free call must keep
-    # input+output+zeta planes in ~16MB VMEM.  The poly-MAJOR fold layout
+    # input+output+zeta planes in VMEM.  The poly-MAJOR fold layout
     # processes per-poly slabs and shares (un-replicated) zeta tables, so
-    # the budget is set by in+out data: n*P <= 2^18 (P=4 at n=2^16 verified
-    # on TPU with the Shoup kernel; the old row-interleaved kernel died at
-    # n*P = 2^18 from P-replicated tail tables).
+    # the poly budget is set by in+out data: n*P <= 2^18 (P=4 at n=2^16
+    # verified on TPU with the Shoup kernel; the old row-interleaved kernel
+    # died at n*P = 2^18 from P-replicated tail tables).
     _PALLAS_FOLD_BUDGET = 1 << 18
+    # Prime-fold byte budget: Mosaic's scoped VMEM limit is 16MB (observed:
+    # "Scoped allocation ... limit 16.00M" from the remote compile helper).
+    # Operands reached through lax.map's dynamic slices are DOUBLE-buffered,
+    # so one call costs ~2*(input 8*P*F*n + zeta planes 32*F*n) + output
+    # 8*P*F*n + ~7 live slab temporaries (~60*n), i.e.
+    # 24*P*F*n + 64*F*n + 60*n bytes.  Calibrated against two observed
+    # failures ((n=2^16, P=4, F=2) -> 38.02M; (n=2^14, P=3, F=8) -> 16.97M)
+    # and the known-good configs ((2^16,4,1) ~14.4M est, (2^12,2,7) ran).
+    _PALLAS_VMEM_LIMIT = 15 << 20
 
-    def pallas_plan(self, dim: int, P: int = 1):
-        if (dim, P) not in self._pallas:
+    def pallas_plan(self, dim: int, P: int = 1, F: int = 1):
+        if (dim, P, F) not in self._pallas:
             from ..ops.ntt_pallas import make_pallas_plan
-            self._pallas[(dim, P)] = make_pallas_plan(self.pctx, dim, P)
-        return self._pallas[(dim, P)]
+            self._pallas[(dim, P, F)] = make_pallas_plan(self.pctx, dim, P, F)
+        return self._pallas[(dim, P, F)]
 
     def pallas_fold(self, P: int) -> int:
-        """Largest usable fold for a P-poly stack (divisor of P within the
-        VMEM budget)."""
+        """Largest usable poly fold for a P-poly stack (divisor of P within
+        the VMEM budget)."""
         pmax = max(1, self._PALLAS_FOLD_BUDGET // self.pctx.n)
         while P % pmax or pmax > P:
             pmax -= 1
         return pmax
+
+    def pallas_prime_fold(self, dim: int, Pf: int) -> int:
+        """Prime fold F: minimize kernel launches (ceil(dim/F) lax.map steps),
+        tie-broken by least prime padding, within the VMEM byte budget."""
+        n = self.pctx.n
+        feasible = [f for f in range(1, 9)
+                    if 24 * Pf * f * n + 64 * f * n + 60 * n
+                    <= self._PALLAS_VMEM_LIMIT]
+        if not feasible:
+            return 1
+        return min(feasible, key=lambda f: (-(dim // -f), (dim // -f) * -f - dim))
 
     def prepare(self, dim: int, folds: tuple[int, ...] = (1,)) -> None:
         """Eagerly materialize device plans for dim (must run OUTSIDE any jit
@@ -87,21 +107,24 @@ class RingEngine:
             self.ntt4_plan(dim)
         if self.ntt_impl == "pallas" and self.pctx.n >= 1024:
             for P in folds:
-                self.pallas_plan(dim, self.pallas_fold(P))
+                Pf = self.pallas_fold(P)
+                self.pallas_plan(dim, Pf, self.pallas_prime_fold(dim, Pf))
 
     def _pallas_ntt(self, res, dim: int, inverse: bool, scaled: bool = False):
         import jax
 
         from ..ops.ntt_pallas import ntt_pallas
         if res.ndim == 2:
-            return ntt_pallas(res, self.pallas_plan(dim, 1), inverse,
+            F = self.pallas_prime_fold(dim, 1)
+            return ntt_pallas(res, self.pallas_plan(dim, 1, F), inverse,
                               scaled=scaled)
         P = res.shape[0]
         fold = self.pallas_fold(P)
+        F = self.pallas_prime_fold(dim, fold)
         if fold == P:
-            return ntt_pallas(res, self.pallas_plan(dim, P), inverse,
+            return ntt_pallas(res, self.pallas_plan(dim, P, F), inverse,
                               scaled=scaled)
-        plan = self.pallas_plan(dim, fold)
+        plan = self.pallas_plan(dim, fold, F)
         if fold == 1:
             # map over bare (dim, n) slices — ntt_pallas with plan.P == 1
             # takes 2-D input (a (g, 1, dim, n) reshape would crash it)

@@ -45,6 +45,9 @@ class CKKS:
         self.ring = RingEngine(ctx.poly, ntt_impl=ntt_impl)
         self.rng = rng if rng is not None else default_rng()
         self._jit = {}
+        # engine-scoped scale override (bootstrap.raised_delta); the shared
+        # HeContext itself is never mutated
+        self._delta_override: float | None = None
         # fixed widths
         self.kq = bigint.nlimbs(ctx.q[ctx.L].bit_length())        # ct limbs at top
         self.pinv16 = bigint.digits16(
@@ -64,6 +67,13 @@ class CKKS:
     # ------------------------------------------------------------------
     # width helpers
     # ------------------------------------------------------------------
+
+    @property
+    def Delta(self) -> float:
+        """Active encode scale: the context's Delta unless an engine-scoped
+        override (bootstrap.raised_delta) is in effect."""
+        return self.ctx.Delta if self._delta_override is None \
+            else self._delta_override
 
     def qbits(self, l: int) -> int:
         return self.ctx.q[l].bit_length()
@@ -85,7 +95,7 @@ class CKKS:
         """Encode complex slots into an integral polynomial
         (ref: src/he-encode.c:53-64, he_ecd:107-111)."""
         ctx = self.ctx
-        nu = ctx.Delta if nu is None else nu
+        nu = self.Delta if nu is None else nu
         u = invcanemb(np.asarray(m, dtype=np.complex128), ctx.slots,
                       ctx.poly.cyc_group, ctx.poly.ring_zetas, ctx.poly.m)
         n = ctx.poly.n
@@ -126,7 +136,7 @@ class CKKS:
 
     def canemb_norm(self, m: np.ndarray, Delta: float | None = None) -> float:
         """Canonical-embedding norm of a message (ref: src/he-encode.c:95-104)."""
-        Delta = self.ctx.Delta if Delta is None else Delta
+        Delta = self.Delta if Delta is None else Delta
         m = np.asarray(m, dtype=np.complex128)
         u = np.concatenate([sample.c_round(m.real * Delta),
                             sample.c_round(m.imag * Delta)])
@@ -156,10 +166,10 @@ class CKKS:
         n = ctx.poly.n
         nh = n // 2
         coeffs = [0] * n
-        coeffs[0] = int(sample.c_round(np.float64(num.real) * ctx.Delta))
-        coeffs[nh] = int(sample.c_round(np.float64(num.imag) * ctx.Delta))
+        coeffs[0] = int(sample.c_round(np.float64(num.real) * self.Delta))
+        coeffs[nh] = int(sample.c_round(np.float64(num.imag) * self.Delta))
         limbs = jnp.asarray(bigint.ints_to_limbs(coeffs, self.kq))
-        return Plaintext(nu=ctx.Delta, m=limbs, mod_bits=32 * self.kq,
+        return Plaintext(nu=self.Delta, m=limbs, mod_bits=32 * self.kq,
                          bound=float(max(abs(coeffs[0]), abs(coeffs[nh]), 1)))
 
     # ------------------------------------------------------------------
@@ -287,7 +297,7 @@ class CKKS:
         m_l = lb.resize(pt.m, self.kq)
         c0 = self._add3_mask(c0, m_l, e0_l, qb)
         c1 = self._add2_mask(c1, e1_l, qb)
-        nu = pt.nu if pt.nu >= ctx.Delta else ctx.Delta
+        nu = pt.nu if pt.nu >= self.Delta else self.Delta
         return Ciphertext(l=ctx.L, nu=nu, B=ctx.bounds.Bclean, c0=c0, c1=c1)
 
     def enc_sk(self, pt: Plaintext, sk: SecretKey) -> Ciphertext:
@@ -304,7 +314,7 @@ class CKKS:
         e_l = jnp.asarray(bigint.ints_to_limbs([int(x) for x in e], self.kq))
         m_l = lb.resize(pt.m, self.kq)
         c0 = self._negadd3_mask(prod, m_l, e_l, qb)
-        nu = pt.nu if pt.nu >= ctx.Delta else ctx.Delta
+        nu = pt.nu if pt.nu >= self.Delta else self.Delta
         return Ciphertext(l=ctx.L, nu=nu, B=ctx.bounds.Bclean, c0=c0, c1=c1)
 
     def dec(self, ct: Ciphertext, sk: SecretKey) -> Plaintext:
@@ -576,8 +586,8 @@ class CKKS:
         c0, c1 = f(ct1.c0, ct1.c1, ct2.c0, ct2.c1, rlk.p0hat, rlk.p1hat)
         nu = ct1.nu * ct2.nu
         B = ct1.nu * ct2.B + ct2.nu * ct1.B + ct1.B * ct2.B + ctx.bounds.Bmult[l]
-        return Ciphertext(l=lnew, nu=nu / ctx.Delta,
-                          B=B / ctx.Delta + ctx.bounds.Brs, c0=c0, c1=c1)
+        return Ciphertext(l=lnew, nu=nu / self.Delta,
+                          B=B / self.Delta + ctx.bounds.Brs, c0=c0, c1=c1)
 
     def mulpt(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
         """Plaintext product (ref: src/he-mult.c:159-196)."""
@@ -637,8 +647,8 @@ class CKKS:
                 return lb.resize(lb.mask_bits(lb.rshift_round(x, logD), qb), klv)
             return f
         f = self._cached(key, build)
-        return Ciphertext(l=lnew, nu=ct.nu / ctx.Delta,
-                          B=ct.B / ctx.Delta + ctx.bounds.Brs,
+        return Ciphertext(l=lnew, nu=ct.nu / self.Delta,
+                          B=ct.B / self.Delta + ctx.bounds.Brs,
                           c0=f(ct.c0), c1=f(ct.c1))
 
     def moddown(self, ct: Ciphertext) -> Ciphertext:

@@ -310,3 +310,44 @@ def test_exact_oracle_kat():
     # fused mul_rs must equal mul-then-rs exactly
     ct_f = eng.mul_rs(ct, ct_sk, rlk)
     _assert_ct_equal("mul_rs", eng, ct_f, oct_rs)
+
+
+def test_exact_oracle_ladder_sweep():
+    """Per-level exact sweep (VERDICT r2 #6): walk a deep ladder (logn=5,
+    L=20) doing fused mul+relin+rescale AND conj at EVERY level, asserting
+    limb equality against the python-int oracle.  This pins the truncated
+    reconstruct margins (bound_bits), the log-depth carries and the
+    divide-round at every (dim_mul, dim_swk, k) combination in live use —
+    an off-by-one in any margin formula fails here at the level where the
+    basis shrinks past it."""
+    ctx = HeContext(logn=5, q=1 << 610, slots=2, Delta=1 << 30)
+    eng = CKKS(ctx, rng=Surf())
+    orc = Oracle(ctx)
+
+    pk, sk = eng.keypair()
+    orc.keypair()
+    rlk = eng.genrlk(sk)
+    orc.genrlk()
+    ck = eng.genck(sk)
+    orc.genck()
+
+    m0 = smp.sample_z01vec(eng.rng, ctx.slots)
+    smp.sample_z01vec(orc.rng, ctx.slots)
+    pt = eng.ecd(m0)
+    m_ints = bigint.limbs_to_ints(np.asarray(pt.m))
+    mod_pt = 1 << pt.mod_bits
+    m_signed = [(v % mod_pt) - mod_pt if (v % mod_pt) >= mod_pt // 2
+                else v % mod_pt for v in m_ints]
+    ct = eng.enc_pk(pt, pk)
+    oct_ = orc.enc_pk(m_signed)
+    _assert_ct_equal("enc_pk", eng, ct, oct_)
+
+    assert ctx.L >= 15, ctx.L
+    while ct.l >= 1:
+        l = ct.l
+        oct_c = orc.conj(oct_)
+        ct_c = eng.conj(ct.copy(), ck)
+        _assert_ct_equal(f"conj@l={l}", eng, ct_c, oct_c)
+        ct = eng.mul_rs(ct, ct_c, rlk)
+        oct_ = orc.rs(orc.mul(oct_, oct_c))
+        _assert_ct_equal(f"mul_rs@l={l}", eng, ct, oct_)

@@ -148,3 +148,77 @@ def test_mont_domain(pctx):
     am = to_mont(a, ps, pinv, r2)
     back = mont_mul(am, jnp.ones_like(a), ps, pinv)
     assert np.array_equal(np.asarray(back), np.asarray(a))
+
+
+@pytest.mark.parametrize("dim", [2, 8])
+def test_reconstruct_boundary_values(pctx, dim):
+    """Boundary-value CRT reconstruct: values adjacent to 0, P/2 and P,
+    fast (truncated k_out) vs exact path vs python-int oracle.
+
+    Would have caught the round-2 fast-path alpha off-by-one: the f64
+    alpha estimate floor(af) can miss by one exactly when value/P is within
+    f64 error of 0 or 1 (v in {P-1, P-2, 1, ...}); the centered fast path
+    must absorb that via the frac decision, and center=False must route to
+    the exact full-width-correction path."""
+    b = pctx.basis(dim)
+    ba = rns_ops.make_basis_arrays(pctx, dim)
+    plan = rns_ops.make_recon_plan(pctx, dim)
+    P = b.P
+    # signed test values; |v| small enough for a bound_bits margin >= 3
+    bound_bits = plan.logP - 40
+    big = (1 << bound_bits) - 1
+    vals = [0, 1, 2, -1, -2, big, -big, big - 1, -(big - 1), 3, -3]
+    n = pctx.n
+    vals = (vals * ((n // len(vals)) + 1))[:n]
+    res = np.stack([np.array([v % p for v in vals], dtype=np.uint64)
+                    for p in b.primes])
+    rj = jnp.array(res)
+    k_out = max(2, (bound_bits + 63) // 32)  # truncated width, < plan.ks
+    assert k_out < plan.ks
+    fast = np.asarray(rns_ops.reconstruct(rj, ba, plan, center=True,
+                                          k_out=k_out, bound_bits=bound_bits))
+    exact = np.asarray(rns_ops.reconstruct(rj, ba, plan, center=True))
+    mod_f = 1 << (32 * k_out)
+    for i, v in enumerate(vals):
+        got = bigint.limbs_to_ints(fast[i:i + 1])[0]
+        assert got == v % mod_f, (i, v, got)
+        got_e = bigint.limbs_to_signed_ints(exact[i:i + 1])[0]
+        assert got_e == v, (i, v, got_e)
+    # center=False: nonnegative residue in [0, P), exact at any k_out request
+    nn = np.asarray(rns_ops.reconstruct(rj, ba, plan, center=False,
+                                        k_out=plan.ks))
+    for i, v in enumerate(vals):
+        got = bigint.limbs_to_ints(nn[i:i + 1])[0]
+        assert got == v % P, (i, v, got)
+
+
+def test_reconstruct_fast_path_alpha_stress(pctx):
+    """Force alpha floor misses with a perturbed inv_p table: the centered
+    fast path must still be exact for in-margin values (the frac decision
+    self-corrects a +-1 alpha error); this pins the actual correctness
+    argument rather than the (removed) vacuous residue check."""
+    import dataclasses
+
+    dim = 8
+    b = pctx.basis(dim)
+    ba = rns_ops.make_basis_arrays(pctx, dim)
+    plan = rns_ops.make_recon_plan(pctx, dim)
+    # perturb inv_p so af picks up a ~2^-20 error: enough to flip floor(af)
+    # for near-boundary values, far below the P/4 margin
+    pert = plan.inv_p * (1.0 + np.float64(2.0 ** -22))
+    plan_p = dataclasses.replace(plan, inv_p=pert)
+    bound_bits = plan.logP - 40
+    big = (1 << bound_bits) - 1
+    vals = [0, 1, -1, big, -big, 12345, -12345]
+    n = pctx.n
+    vals = (vals * ((n // len(vals)) + 1))[:n]
+    res = np.stack([np.array([v % p for v in vals], dtype=np.uint64)
+                    for p in b.primes])
+    k_out = max(2, (bound_bits + 63) // 32)
+    fast = np.asarray(rns_ops.reconstruct(jnp.array(res), ba, plan_p,
+                                          center=True, k_out=k_out,
+                                          bound_bits=bound_bits))
+    mod_f = 1 << (32 * k_out)
+    for i, v in enumerate(vals):
+        got = bigint.limbs_to_ints(fast[i:i + 1])[0]
+        assert got == v % mod_f, (i, v, got)
