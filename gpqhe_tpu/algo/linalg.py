@@ -103,15 +103,21 @@ class HoistedGemvPlan(GemvPlan):
         return (eng.dim_hoist(l, bnd * self.n1),
                 eng.ctx.dim_mulpt(l, bnd * self.n1), nu_max)
 
-    def pack_slab(self, eng: CKKS, l: int, i: int):
+    def pack_slab(self, eng: CKKS, l: int, i: int,
+                  dims: tuple[int, int] | None = None):
         """(ptx_i [n1, dims_h, n], ptb_i [n1, dimc, n]) — the pre-NTT'd
         diagonal plaintexts of giant step i at level l, built lazily OUTSIDE
         jit so peak memory during a streamed gemv is one slab, and cached
-        for plan reuse."""
+        for plan reuse.  dims overrides (dims_h, dimc) — e.g. bases padded
+        to a mesh's limb-axis multiple (any dims >= the formulas are valid
+        CRT ranges)."""
         import jax.numpy as jnp
-        key = (l, i)
+        key = (l, i, dims)
         if key not in self._packs:
-            dims_h, dimc, _ = self.dims(eng, l)
+            if dims is None:
+                dims_h, dimc, _ = self.dims(eng, l)
+            else:
+                dims_h, dimc = dims
 
             def tab(dim):
                 return jnp.stack([

@@ -295,6 +295,210 @@ def _basis_consts(pctx: PolyContext, dim: int, k_in: int, S: int, prefix: str):
     return splan, consts, specs
 
 
+def _ks_post_factory(eng, l: int, dim_s: int, plan_sr, plan_8r):
+    """Shared sharded divide-round-by-P pipeline: NTT-domain product stack
+    res (one key-switch half, local primes) -> u = rdiv(c, P) mod q_l limbs.
+    Mirrors CKKS._keyswitch_core's post() (ref: src/he-mult.c:67-77,
+    he-automorphism.c:62-77): full-basis centered reconstruct + sub-basis
+    r = c mod P (zero-masked out-of-basis primes under the limb psum),
+    then (c - r) * P^-1 mod 2^(32 kq) + round bit."""
+    ctx = eng.ctx
+    qb, klv, kq = eng.qbits(l), eng.kl(l), eng.kq
+    pinv16 = eng.pinv16
+    p_half_up = jnp.asarray(eng.p_half_up)
+    rk8 = eng.rk8
+
+    def ks_post(res, C):
+        c = rns_ops.reconstruct_core(
+            res, C["s_ps"], C["s_pinv"], C["sr_phinv"], C["sr_shift"],
+            C["sr_invp"], C["sr_negP16"], C["sr_mmp"], C["sr_plimbs"],
+            C["sr_phalf"], ks=plan_sr.ks, dim_total=dim_s,
+            center=True, axis_name="limb")
+        r = rns_ops.reconstruct_core(
+            res, C["s_ps"], C["s_pinv"], C["r8_phinv"], C["r8_shift"],
+            C["r8_invp"], C["r8_negP16"], C["r8_mmp"], C["r8_plimbs"],
+            C["r8_phalf"], ks=plan_8r.ks, dim_total=ctx.dim,
+            center=False, axis_name="limb")
+        u = lb.mul_const_mod2k(lb.sub(lb.resize(c, kq), lb.resize(r, kq)),
+                               pinv16, kq)
+        round_bit = lb.geq_const(lb.resize(r, rk8), p_half_up)
+        u = lb.add_scalar_bit(u, round_bit.astype(jnp.uint32))
+        return lb.resize(lb.mask_bits(u, qb), klv)
+    return ks_post
+
+
+def build_sharded_rot(eng, l: int, mesh: Mesh, rot: int | None):
+    """Slot rotation / conjugation (rot=None) sharded over the full
+    (limb, coeff, batch) mesh — the key-switch path of
+    CKKS.rot/conj/_apply_swk (ref: src/he-automorphism.c:40-115).
+
+    The Galois permutation is a global coefficient gather (it crosses coeff
+    shards), so it runs OUTSIDE shard_map on the jit-level global view (XLA
+    inserts the resharding collectives); the key-switch pipeline itself —
+    decompose + coeff-sharded NTT of d1, x swk halves (swk sharded over
+    (limb, coeff)), INTT, the two limb-psum reconstructs and the
+    divide-round — runs under shard_map exactly like the relin block of
+    build_sharded_mul_rs.
+
+    Returns fn(c0, c1, swk0, swk1) -> (c0', c1') for u32[B, n, klv] inputs
+    (B over 'batch', n over 'coeff'); swk halves are the engine's
+    NTT-resident u64[>=dim_s, n].  Bit-exact vs the single-device engine op
+    (tests/test_parallel.py)."""
+    ctx = eng.ctx
+    pctx = ctx.poly
+    nlimb, S = mesh.shape["limb"], mesh.shape["coeff"]
+    qb, klv = eng.qbits(l), eng.kl(l)
+    dim_s = _pad_dim(ctx.dim_swk(l), nlimb, pctx.dimub)
+    assert dim_s <= eng.dimswk_h, (dim_s, eng.dimswk_h)
+
+    splan_s, cs, ss = _basis_consts(pctx, dim_s, klv, S, "s")
+    plan_sr, csr, ssr = _recon_consts(pctx, dim_s, dim_s, "sr")
+    plan_8r, c8r, s8r = _recon_consts(pctx, ctx.dim, dim_s, "r8")
+    consts = {**cs, **csr, **c8r}
+    specs = {**ss, **ssr, **s8r}
+    ks_post = _ks_post_factory(eng, l, dim_s, plan_sr, plan_8r)
+
+    src, negf = eng.ring.galois_map(rot)
+    srcj = jnp.asarray(src)
+    negj = jnp.asarray(negf)
+
+    def kernel(d0, d1, ek0, ek1, C):
+        res = rns_ops.decompose_core(d1, C["s_ps"], C["s_pinv"], C["s_w"])
+        dhat = _ntt_coeff_sharded(res, C["s_zlf"], C["s_zcf"],
+                                  C["s_ps"], C["s_pinv"], splan_s, "coeff")
+        pss, pinvs = C["s_ps"][:, None], C["s_pinv"][:, None]
+        r2s = C["s_r2"][:, None]
+        u0h = mulmod(dhat, ek0, pss, pinvs, r2s)
+        u1h = mulmod(dhat, ek1, pss, pinvs, r2s)
+
+        def back(uh):
+            return _intt_coeff_sharded(uh, C["s_zli"], C["s_zci"],
+                                       C["s_ps"], C["s_pinv"], C["s_ninv"],
+                                       splan_s, "coeff")
+        u0 = ks_post(back(u0h), C)
+        u1 = ks_post(back(u1h), C)
+        c0 = lb.mask_bits(lb.add(u0, d0), qb)
+        return c0, u1
+
+    cnames = list(consts.keys())
+
+    def vkernel(d0, d1, ek0, ek1, *cs_):
+        C = dict(zip(cnames, cs_))
+        return jax.vmap(lambda x, y: kernel(x, y, ek0, ek1, C))(d0, d1)
+
+    smapped = shard_map(
+        vkernel, mesh=mesh,
+        in_specs=(P("batch", "coeff", None),) * 2
+        + (P("limb", "coeff"), P("limb", "coeff"))
+        + tuple(specs[k] for k in cnames),
+        out_specs=(P("batch", "coeff", None), P("batch", "coeff", None)),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def f(c0, c1, ek0, ek1):
+        # Galois on the global view (gathers cross coeff shards)
+        def gal(x):
+            g = x[:, srcj, :]
+            neg = lb.mask_bits(lb.neg(g), qb)
+            pos = lb.mask_bits(g, qb)
+            return jnp.where(negj[None, :, None], neg, pos)
+        return smapped(gal(c0), gal(c1), ek0[:dim_s], ek1[:dim_s],
+                       *consts.values())
+    return f
+
+
+def build_sharded_gemv_step(eng, l: int, n1: int, dims_h: int, dimc: int,
+                            mesh: Mesh):
+    """One double-hoisted BSGS gemv giant step sharded over (limb, coeff)
+    — the lax.scan body of CKKS.hoisted_gemv_step_fn (pointwise per prime,
+    so the scan runs UNCHANGED on local shards; only the key-switch
+    divide-round needs the limb psum) plus the sharded key-switch epilogue.
+    The rotation-key slab rk0/rk1 [n1, dims_h, n] — the largest object in
+    the system at production scale (ref: src/he-kem.c:154-169) — shards
+    over (limb, coeff) like the evk.
+
+    dims_h and dimc must be multiples of the limb axis (pad with extra
+    chain primes — any dims >= the engine's formulas are valid CRT ranges).
+
+    f(c1p [n1,dims_h,n], c0p [n1,dimc,n], ptx_i, ptb_i, rk0, rk1)
+      -> (c0_i, c1_i) [n, klv], bit-exact vs the engine step
+    (tests/test_parallel.py)."""
+    ctx = eng.ctx
+    pctx = ctx.poly
+    nlimb, S = mesh.shape["limb"], mesh.shape["coeff"]
+    qb, klv = eng.qbits(l), eng.kl(l)
+    assert dims_h % nlimb == 0 and dimc % nlimb == 0, (dims_h, dimc, nlimb)
+    assert dims_h <= eng.dimswk_h, (dims_h, eng.dimswk_h)
+
+    splan_s, cs, ss = _basis_consts(pctx, dims_h, klv, S, "s")
+    splan_c, cc, sc = _basis_consts(pctx, dimc, klv, S, "c")
+    plan_sr, csr, ssr = _recon_consts(pctx, dims_h, dims_h, "sr")
+    plan_8r, c8r, s8r = _recon_consts(pctx, ctx.dim, dims_h, "r8")
+    plan_cr, ccr, scr = _recon_consts(pctx, dimc, dimc, "cr")
+    consts = {**cs, **cc, **csr, **c8r, **ccr}
+    specs = {**ss, **sc, **ssr, **s8r, **scr}
+    ks_post = _ks_post_factory(eng, l, dims_h, plan_sr, plan_8r)
+
+    def kernel(c1p, c0p, ptx, ptb, r0, r1, C):
+        pss, pinvs = C["s_ps"][:, None], C["s_pinv"][:, None]
+        pcc, pinvc = C["c_ps"][:, None], C["c_pinv"][:, None]
+        r2s, r2c = C["s_r2"][:, None], C["c_r2"][:, None]
+        nloc = c1p.shape[-1]
+
+        def body(carry, xs):
+            acc0, acc1, accb = carry
+            c1j, c0j, px, pb, rr0, rr1 = xs
+            t = mulmod(c1j, px, pss, pinvs, r2s)
+            u0 = mulmod(t, rr0, pss, pinvs, r2s)
+            u1 = mulmod(t, rr1, pss, pinvs, r2s)
+            b = mulmod(c0j, pb, pcc, pinvc, r2c)
+            return (addmod(acc0, u0, pss), addmod(acc1, u1, pss),
+                    addmod(accb, b, pcc)), None
+        init = (jnp.zeros((dims_h // nlimb, nloc), dtype=jnp.uint64),
+                jnp.zeros((dims_h // nlimb, nloc), dtype=jnp.uint64),
+                jnp.zeros((dimc // nlimb, nloc), dtype=jnp.uint64))
+        (acc0, acc1, accb), _ = jax.lax.scan(
+            body, init, (c1p, c0p, ptx, ptb, r0, r1))
+
+        def back_s(uh):
+            return _intt_coeff_sharded(uh, C["s_zli"], C["s_zci"],
+                                       C["s_ps"], C["s_pinv"], C["s_ninv"],
+                                       splan_s, "coeff")
+        k0 = ks_post(back_s(acc0), C)
+        k1 = ks_post(back_s(acc1), C)
+        resb = _intt_coeff_sharded(accb, C["c_zli"], C["c_zci"],
+                                   C["c_ps"], C["c_pinv"], C["c_ninv"],
+                                   splan_c, "coeff")
+        db = rns_ops.reconstruct_core(
+            resb, C["c_ps"], C["c_pinv"], C["cr_phinv"], C["cr_shift"],
+            C["cr_invp"], C["cr_negP16"], C["cr_mmp"], C["cr_plimbs"],
+            C["cr_phalf"], ks=plan_cr.ks, dim_total=dimc,
+            center=True, axis_name="limb")
+        db = lb.resize(lb.mask_bits(db, qb), klv)
+        return lb.mask_bits(lb.add(k0, db), qb), k1
+
+    cnames = list(consts.keys())
+
+    def vkernel(c1p, c0p, ptx, ptb, r0, r1, *cs_):
+        C = dict(zip(cnames, cs_))
+        return kernel(c1p, c0p, ptx, ptb, r0, r1, C)
+
+    smapped = shard_map(
+        vkernel, mesh=mesh,
+        in_specs=(P(None, "limb", "coeff"),) * 6
+        + tuple(specs[k] for k in cnames),
+        out_specs=(P("coeff", None), P("coeff", None)),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def f(c1p, c0p, ptx_i, ptb_i, rk0, rk1):
+        return smapped(c1p, c0p, ptx_i, ptb_i,
+                       rk0[:, :dims_h], rk1[:, :dims_h], *consts.values())
+    return f
+
+
 def build_sharded_mul_rs(eng, l: int, mesh: Mesh):
     """The north-star scheme op — fused ciphertext multiply + relinearize +
     rescale (engine mul_rs) — sharded over the full (limb, coeff, batch) mesh.
@@ -328,15 +532,13 @@ def build_sharded_mul_rs(eng, l: int, mesh: Mesh):
     assert dim_s <= eng.dimswk_h, \
         (f"padded relin basis {dim_s} exceeds switch-key limbs "
          f"{eng.dimswk_h}; raise hoist_bits at engine construction")
-    pinv16 = eng.pinv16
-    p_half_up = jnp.asarray(eng.p_half_up)
-    rk8 = eng.rk8
 
     splan_m, cm, sm = _basis_consts(pctx, dim_m, klv, S, "m")
     splan_s, cs, ss = _basis_consts(pctx, dim_s, klv, S, "s")
     plan_mr, cmr, smr = _recon_consts(pctx, dim_m, dim_m, "mr")
     plan_sr, csr, ssr = _recon_consts(pctx, dim_s, dim_s, "sr")
     plan_8r, c8r, s8r = _recon_consts(pctx, ctx.dim, dim_s, "r8")
+    ks_post_f = _ks_post_factory(eng, l, dim_s, plan_sr, plan_8r)
 
     consts = {**cm, **cs, **cmr, **csr, **c8r}
     specs = {**sm, **ss, **smr, **ssr, **s8r}
@@ -380,21 +582,7 @@ def build_sharded_mul_rs(eng, l: int, mesh: Mesh):
             res = _intt_coeff_sharded(uh, C["s_zli"], C["s_zci"],
                                       C["s_ps"], C["s_pinv"], C["s_ninv"],
                                       splan_s, "coeff")
-            c = rns_ops.reconstruct_core(
-                res, C["s_ps"], C["s_pinv"], C["sr_phinv"], C["sr_shift"],
-                C["sr_invp"], C["sr_negP16"], C["sr_mmp"], C["sr_plimbs"],
-                C["sr_phalf"], ks=plan_sr.ks, dim_total=dim_s,
-                center=True, axis_name="limb")
-            r = rns_ops.reconstruct_core(
-                res, C["s_ps"], C["s_pinv"], C["r8_phinv"], C["r8_shift"],
-                C["r8_invp"], C["r8_negP16"], C["r8_mmp"], C["r8_plimbs"],
-                C["r8_phalf"], ks=plan_8r.ks, dim_total=ctx.dim,
-                center=False, axis_name="limb")
-            u = lb.mul_const_mod2k(lb.sub(lb.resize(c, kq), lb.resize(r, kq)),
-                                   pinv16, kq)
-            round_bit = lb.geq_const(lb.resize(r, rk8), p_half_up)
-            u = lb.add_scalar_bit(u, round_bit.astype(jnp.uint32))
-            return lb.resize(lb.mask_bits(u, qb), klv)
+            return ks_post_f(res, C)
         u0, u1 = ks_post(u0h), ks_post(u1h)
         c0 = lb.mask_bits(lb.add(u0, d0), qb)
         c1 = lb.mask_bits(lb.add(u1, d1), qb)

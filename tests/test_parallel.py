@@ -166,3 +166,88 @@ def test_coeff_sharded_ntt_roundtrip_deep():
     assert jnp.array_equal(ref, got)
     back = inv(got, jnp.asarray(cp["zl_i"]), jnp.asarray(cp["zc_i"]))
     assert jnp.array_equal(a, back)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_rot_conj_matches_engine():
+    """Sharded key-switch path (rot + conj) == single-device engine ops,
+    bit for bit, on the full (limb=2, coeff=2, batch=2) mesh — the swk
+    halves shard over (limb, coeff) like the evk (VERDICT r2 #5)."""
+    from gpqhe_tpu.context import HeContext
+    from gpqhe_tpu.parallel.mesh import build_sharded_rot, make_he_mesh3
+    from gpqhe_tpu.ring import sample as smp
+    from gpqhe_tpu.scheme.engine import CKKS
+    from gpqhe_tpu.scheme.types import Ciphertext
+    from gpqhe_tpu.substrate.surf import Surf
+
+    ctx = HeContext(logn=6, q=1 << 110, slots=4, Delta=1 << 30)
+    eng = CKKS(ctx, rng=Surf())
+    pk, sk = eng.keypair()
+    ck = eng.genck(sk)
+    rk = eng.genrk(sk, rotations=[1])
+    m0 = smp.sample_z01vec(eng.rng, ctx.slots)
+    ct = eng.enc_pk(eng.ecd(m0), pk)
+    mesh = make_he_mesh3(8, limb=2, coeff=2)
+    B = 2
+
+    def bat(x):
+        return jnp.broadcast_to(x[None], (B,) + x.shape)
+    for name, r, swk, ref in [
+            ("rot1", 1, rk[1], eng.rot(ct.copy(), 1, rk)),
+            ("conj", None, ck, eng.conj(ct.copy(), ck))]:
+        f = build_sharded_rot(eng, ct.l, mesh, r)
+        c0, c1 = f(bat(ct.c0), bat(ct.c1), swk.p0hat, swk.p1hat)
+        for i in range(B):
+            assert np.array_equal(np.asarray(c0[i]), np.asarray(ref.c0)), \
+                f"{name}: c0[{i}] differs"
+            assert np.array_equal(np.asarray(c1[i]), np.asarray(ref.c1)), \
+                f"{name}: c1[{i}] differs"
+        out = Ciphertext(l=ref.l, nu=ref.nu, B=ref.B, c0=c0[0], c1=c1[0])
+        got = eng.dcd(eng.dec(out, sk))
+        want = np.roll(m0, -1) if r == 1 else np.conj(m0)
+        assert np.max(np.abs(got - want)) < 1e-5, name
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_gemv_step_matches_engine():
+    """One double-hoisted gemv giant step on the (limb=2, coeff=2) mesh ==
+    the engine's hoisted_gemv_step_fn, bit for bit; the rotation-key slab
+    shards over (limb, coeff) (VERDICT r2 #5)."""
+    from gpqhe_tpu.algo.linalg import HoistedGemvPlan
+    from gpqhe_tpu.context import HeContext
+    from gpqhe_tpu.parallel.mesh import build_sharded_gemv_step, make_he_mesh3
+    from gpqhe_tpu.ring import sample as smp
+    from gpqhe_tpu.scheme.engine import CKKS
+    from gpqhe_tpu.substrate.surf import Surf
+
+    ctx = HeContext(logn=6, q=1 << 110, slots=4, Delta=1 << 30)
+    # extra hoist margin so the limb-padded dims_h still fits the swk limbs
+    eng = CKKS(ctx, rng=Surf(), hoist_bits=160)
+    pk, sk = eng.keypair()
+    rk = eng.genrk(sk)
+    m0 = smp.sample_z01vec(eng.rng, ctx.slots)
+    ct = eng.enc_pk(eng.ecd(m0), pk)
+    rng = np.random.default_rng(3)
+    A = (rng.standard_normal(ctx.slots * ctx.slots)
+         + 1j * rng.standard_normal(ctx.slots * ctx.slots))
+    plan = HoistedGemvPlan(eng, A)
+    l = ct.l
+    dims_h, dimc, _ = plan.dims(eng, l)
+    # pad both bases up to the limb-axis multiple (still valid CRT ranges)
+    dims_h += dims_h % 2
+    dimc += dimc % 2
+    bnd_sum = plan.bound_max() * plan.n1
+    prep = eng.hoisted_gemv_prep_fn(l, plan.n1, dims_h, dimc)
+    step = eng.hoisted_gemv_step_fn(l, dims_h, dimc,
+                                    bits_h=eng.bits_hoist(l, bnd_sum),
+                                    bits_c=eng.ctx.bits_mulpt(l, bnd_sum))
+    c1p, c0p = prep(ct.c0, ct.c1)
+    rk0, rk1 = plan.rk_stack(rk)
+    ptx_0, ptb_0 = plan.pack_slab(eng, l, 0, dims=(dims_h, dimc))
+    ref0, ref1 = step(c1p, c0p, ptx_0, ptb_0, rk0, rk1)
+
+    mesh = make_he_mesh3(8, limb=2, coeff=2)
+    fsh = build_sharded_gemv_step(eng, l, plan.n1, dims_h, dimc, mesh)
+    got0, got1 = fsh(c1p, c0p, ptx_0, ptb_0, rk0, rk1)
+    assert np.array_equal(np.asarray(got0), np.asarray(ref0))
+    assert np.array_equal(np.asarray(got1), np.asarray(ref1))
