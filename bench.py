@@ -90,7 +90,9 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} ({time.time()-t_start:.1f}s startup)")
 
-    LOGN, DIM, BATCH = 16, 16, 4
+    # BATCH=8 polys fold into one kernel call per prime under the raised
+    # 64 MiB scoped-VMEM limit (utils/xla.py) — verified on v5e.
+    LOGN, DIM, BATCH = 16, 16, 8
     n = 1 << LOGN
     pctx = PolyContext(LOGN, q=1 << 900, dim_cap=DIM)
     ba = rns_ops.make_basis_arrays(pctx, DIM)
@@ -109,7 +111,8 @@ def main():
 
     # NOTE: first lowering over the tunnel has a one-time multi-minute cost;
     # be patient.
-    fwd = jax.jit(lambda x: ring.ntt_f(x, DIM))
+    from gpqhe_tpu.utils.xla import tpu_jit
+    fwd = tpu_jit(lambda x: ring.ntt_f(x, DIM))
     lowered = fwd.lower(a)
     log(f"lowered ({time.time()-t_start:.1f}s)")
     comp = lowered.compile()

@@ -87,16 +87,25 @@ def select(mask, a, b):
 def geq_const(a, c_limbs):
     """a >= c (c passed as u32[K] array or broadcastable limb tensor).
 
-    Vectorized: per-limb (gt - lt) signs weighted by limb significance and
-    summed; the sign of the total is the lexicographic comparison (K <= 62
-    keeps the weights exact in i64)."""
-    k = a.shape[-1]
-    assert k <= 62, f"geq_const weighted-sign trick is exact only for K <= 62 limbs (got {k})"
+    Vectorized lexicographic compare: per-limb (gt - lt) signs weighted by
+    limb significance and summed; the sign of the total is the comparison.
+    One round is exact for <= 62 limbs (sum of 2^i stays inside i64); wider
+    bases (logn=15/logq=881 key-switch reaches K=68) fold hierarchically —
+    each round collapses chunks of <= 62 limb-signs into one exact chunk
+    sign, so any K is exact in ceil(log_62 K) rounds."""
     c = c_limbs if c_limbs.ndim == a.ndim else jnp.broadcast_to(c_limbs, a.shape)
     sgn = (a > c).astype(jnp.int64) - (a < c).astype(jnp.int64)
-    w = jnp.asarray(np.left_shift(np.int64(1), np.arange(k)))
-    score = jnp.sum(sgn * w, axis=-1)
-    return score >= 0
+    while sgn.shape[-1] > 1:
+        m = min(62, sgn.shape[-1])
+        pad = (-sgn.shape[-1]) % m
+        if pad:  # zero signs at the high end: "equal" padding limbs
+            sgn = jnp.concatenate(
+                [sgn, jnp.zeros(sgn.shape[:-1] + (pad,), jnp.int64)], axis=-1)
+        g = sgn.shape[-1] // m
+        w = jnp.asarray(np.left_shift(np.int64(1), np.arange(m)))
+        score = jnp.sum(sgn.reshape(sgn.shape[:-1] + (g, m)) * w, axis=-1)
+        sgn = jnp.sign(score)
+    return sgn[..., 0] >= 0
 
 
 def mask_bits(a, nbits: int):

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..context import PolyContext
+from ..utils.xla import tpu_jit
 from ..ops import limbs as lb
 from ..ops import rns as rns_ops
 from ..ops.modmath import addmod, mont_mul, mulmod, submod
@@ -109,7 +110,7 @@ def build_sharded_poly_mul(pctx: PolyContext, dim: int, k_in: int,
         check_rep=False,
     )
 
-    @jax.jit
+    @tpu_jit
     def f(a, bb):
         return smapped(a, bb, *consts.values())
     return f
@@ -395,7 +396,7 @@ def build_sharded_rot(eng, l: int, mesh: Mesh, rot: int | None):
         check_rep=False,
     )
 
-    @jax.jit
+    @tpu_jit
     def f(c0, c1, ek0, ek1):
         # Galois on the global view (gathers cross coeff shards)
         def gal(x):
@@ -492,7 +493,7 @@ def build_sharded_gemv_step(eng, l: int, n1: int, dims_h: int, dimc: int,
         check_rep=False,
     )
 
-    @jax.jit
+    @tpu_jit
     def f(c1p, c0p, ptx_i, ptb_i, rk0, rk1):
         return smapped(c1p, c0p, ptx_i, ptb_i,
                        rk0[:, :dims_h], rk1[:, :dims_h], *consts.values())
@@ -607,7 +608,7 @@ def build_sharded_mul_rs(eng, l: int, mesh: Mesh):
         check_rep=False,
     )
 
-    @jax.jit
+    @tpu_jit
     def f(c10, c11, c20, c21, ek0, ek1):
         return smapped(c10, c11, c20, c21, ek0[:dim_s], ek1[:dim_s],
                        *consts.values())
@@ -682,7 +683,7 @@ def build_sharded_poly_mul_3d(pctx: PolyContext, dim: int, k_in: int,
         check_rep=False,
     )
 
-    @jax.jit
+    @tpu_jit
     def f(a, bb):
         return smapped(a, bb, *consts.values())
     return f

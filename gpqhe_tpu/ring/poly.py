@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..context import PolyContext
+from ..utils.xla import tpu_jit
 from ..ops import limbs as lb
 from ..ops import rns as rns_ops
 from ..ops.modmath import mulmod
@@ -56,22 +57,19 @@ class RingEngine:
             self._ntt4[dim] = make_ntt4_plan(self.pctx, dim)
         return self._ntt4[dim]
 
-    # Poly-fold cap for the pallas kernel: one grid-free call must keep
-    # input+output+zeta planes in VMEM.  The poly-MAJOR fold layout
-    # processes per-poly slabs and shares (un-replicated) zeta tables, so
-    # the poly budget is set by in+out data: n*P <= 2^18 (P=4 at n=2^16
-    # verified on TPU with the Shoup kernel; the old row-interleaved kernel
-    # died at n*P = 2^18 from P-replicated tail tables).
-    _PALLAS_FOLD_BUDGET = 1 << 18
-    # Prime-fold byte budget: Mosaic's scoped VMEM limit is 16MB (observed:
-    # "Scoped allocation ... limit 16.00M" from the remote compile helper).
-    # Operands reached through lax.map's dynamic slices are DOUBLE-buffered,
-    # so one call costs ~2*(input 8*P*F*n + zeta planes 32*F*n) + output
-    # 8*P*F*n + ~7 live slab temporaries (~60*n), i.e.
-    # 24*P*F*n + 64*F*n + 60*n bytes.  Calibrated against two observed
-    # failures ((n=2^16, P=4, F=2) -> 38.02M; (n=2^14, P=3, F=8) -> 16.97M)
-    # and the known-good configs ((2^16,4,1) ~14.4M est, (2^12,2,7) ran).
-    _PALLAS_VMEM_LIMIT = 15 << 20
+    # Fold cap for the pallas kernel: one grid-free call must keep
+    # input+output+zeta planes+stage temporaries inside XLA's scoped-VMEM
+    # limit.  The analytic byte model underestimates Mosaic's stack (observed
+    # (n=2^16, P=4, F=1): 36.41M scoped vs ~14M modeled), so the budget is the
+    # empirical law calibrated on real-TPU compiles: n*P*F <= scoped_vmem/128
+    # elements.  At the default 16 MiB limit that is 2^17 (known-good
+    # (2^16,2,1) and (2^14,8,1); known-bad (2^16,4,1) -> 36.41M,
+    # (2^14,3,8) -> 16.97M); utils/xla.py raises the limit to 64 MiB on TPU
+    # per-compile, giving 2^19 (verified good: (2^16,8,1), (2^16,4,2)).
+    @property
+    def _pallas_fold_budget(self) -> int:
+        from ..utils.xla import scoped_vmem_bytes
+        return scoped_vmem_bytes() // 128
 
     def pallas_plan(self, dim: int, P: int = 1, F: int = 1):
         if (dim, P, F) not in self._pallas:
@@ -82,18 +80,20 @@ class RingEngine:
     def pallas_fold(self, P: int) -> int:
         """Largest usable poly fold for a P-poly stack (divisor of P within
         the VMEM budget)."""
-        pmax = max(1, self._PALLAS_FOLD_BUDGET // self.pctx.n)
+        pmax = max(1, self._pallas_fold_budget // self.pctx.n)
         while P % pmax or pmax > P:
             pmax -= 1
         return pmax
 
     def pallas_prime_fold(self, dim: int, Pf: int) -> int:
-        """Prime fold F: minimize kernel launches (ceil(dim/F) lax.map steps),
-        tie-broken by least prime padding, within the VMEM byte budget."""
+        """Prime fold F (cuts lax.map launches to ceil(dim/F)).  Real-TPU
+        timing shows F-folding loses to P-folding at equal slab count (the
+        group transpose is an HBM shuffle the P axis avoids), so F only
+        fills VMEM the poly axis left unused — i.e. F > 1 only for small
+        poly stacks.  Tie-break: least prime padding."""
         n = self.pctx.n
-        feasible = [f for f in range(1, 9)
-                    if 24 * Pf * f * n + 64 * f * n + 60 * n
-                    <= self._PALLAS_VMEM_LIMIT]
+        fmax = self._pallas_fold_budget // (n * Pf)
+        feasible = [f for f in range(1, min(8, fmax) + 1)]
         if not feasible:
             return 1
         return min(feasible, key=lambda f: (-(dim // -f), (dim // -f) * -f - dim))
@@ -257,7 +257,7 @@ class RingEngine:
             self.prepare(dim)
             ba = self.ba(dim)
 
-            @jax.jit
+            @tpu_jit
             def f(x):
                 res = self.decompose(x, dim, signed_bits)
                 return self.ntt_f(res, dim)
@@ -274,7 +274,7 @@ class RingEngine:
             ba = self.ba(dim)
             plan = self.recon(dim)
 
-            @jax.jit
+            @tpu_jit
             def f(ch):
                 res = self.ntt_i(ch, dim)
                 c = rns_ops.reconstruct(res, ba, plan, center=center)
@@ -289,7 +289,7 @@ class RingEngine:
             ba = self.ba(dim)
             r2 = jnp.array(self.pctx.basis(dim).r2)
 
-            @jax.jit
+            @tpu_jit
             def f(x, y):
                 return mulmod(x, y, ba.ps[:, None], ba.pinv[:, None], r2[:, None])
             return f
@@ -308,7 +308,7 @@ class RingEngine:
             plan = self.recon(dim)
             r2 = jnp.array(self.pctx.basis(dim).r2)
 
-            @jax.jit
+            @tpu_jit
             def f(x, y):
                 xh = self.ntt_f(self.decompose(x, dim, signed_a), dim)
                 yh = self.ntt_f(self.decompose(y, dim, signed_b), dim)
@@ -328,7 +328,7 @@ class RingEngine:
             srcj = jnp.asarray(src)
             negj = jnp.asarray(negf)
 
-            @jax.jit
+            @tpu_jit
             def f(x):
                 g = x[srcj, :]
                 neg = lb.mask_bits(lb.neg(g), q_bits)

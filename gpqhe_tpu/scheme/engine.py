@@ -25,6 +25,7 @@ import numpy as np
 
 from .. import params
 from ..context import HeContext
+from ..utils.xla import tpu_jit
 from ..ops import limbs as lb
 from ..ops import rns as rns_ops
 from ..ops.modmath import addmod, mulmod
@@ -203,7 +204,7 @@ class CKKS:
         key = ("negadd", a.shape, qb)
 
         def build():
-            @jax.jit
+            @tpu_jit
             def f(x, y):
                 return lb.mask_bits(lb.add(lb.neg(x), y), qb)
             return f
@@ -332,7 +333,7 @@ class CKKS:
         key = ("add2", a.shape, qb)
 
         def build():
-            @jax.jit
+            @tpu_jit
             def f(x, y):
                 return lb.mask_bits(lb.add(x, y), qb)
             return f
@@ -342,7 +343,7 @@ class CKKS:
         key = ("add3", a.shape, qb)
 
         def build():
-            @jax.jit
+            @tpu_jit
             def f(x, y, z):
                 return lb.mask_bits(lb.add(lb.add(x, y), z), qb)
             return f
@@ -352,7 +353,7 @@ class CKKS:
         key = ("negadd3", a.shape, qb)
 
         def build():
-            @jax.jit
+            @tpu_jit
             def f(x, y, z):
                 return lb.mask_bits(lb.add(lb.add(lb.neg(x), y), z), qb)
             return f
@@ -376,7 +377,7 @@ class CKKS:
         key = ("sub2", ct1.c0.shape, qb)
 
         def build():
-            @jax.jit
+            @tpu_jit
             def f(x, y):
                 return lb.mask_bits(lb.sub(x, y), qb)
             return f
@@ -390,7 +391,7 @@ class CKKS:
         key = ("negm", ct.c0.shape, qb)
 
         def build():
-            @jax.jit
+            @tpu_jit
             def f(x):
                 return lb.mask_bits(lb.neg(x), qb)
             return f
@@ -410,7 +411,7 @@ class CKKS:
         key = ("sub2", ct.c0.shape, qb)
 
         def build():
-            @jax.jit
+            @tpu_jit
             def f(x, y):
                 return lb.mask_bits(lb.sub(x, y), qb)
             return f
@@ -508,7 +509,7 @@ class CKKS:
             wm = self.ring.weights(dim_m, klv)
             ws = self.ring.weights(dim_s, klv)
 
-            @jax.jit
+            @tpu_jit
             def f(c10, c11, c20, c21, ek0, ek1):
                 # cross terms over the dim_m basis (ref: src/he-mult.c:116-138);
                 # the 4 forward NTTs ride one folded kernel stack
@@ -573,7 +574,7 @@ class CKKS:
         def build():
             mul_f = self.mul_step_fn(l)
 
-            @jax.jit
+            @tpu_jit
             def f(c10, c11, c20, c21, ek0, ek1):
                 c0, c1 = mul_f(c10, c11, c20, c21, ek0, ek1)
 
@@ -607,7 +608,7 @@ class CKKS:
             wct = self.ring.weights(dim, klv)
             mod_bits = 32 * pt.m.shape[-1]
 
-            @jax.jit
+            @tpu_jit
             def f(c0, c1, ptm):
                 pthat = self.ring.ntt_f(
                     self.ring._decompose_signed(ptm, dim, mod_bits), dim)
@@ -642,7 +643,7 @@ class CKKS:
         key = ("rs", ct.l, ct.c0.shape)
 
         def build():
-            @jax.jit
+            @tpu_jit
             def f(x):
                 return lb.resize(lb.mask_bits(lb.rshift_round(x, logD), qb), klv)
             return f
@@ -659,7 +660,7 @@ class CKKS:
         key = ("moddown", ct.l, ct.c0.shape)
 
         def build():
-            @jax.jit
+            @tpu_jit
             def f(x):
                 return lb.resize(lb.mask_bits(x, qb), klv)
             return f
@@ -686,7 +687,7 @@ class CKKS:
             ws = self.ring.weights(dim_s, klv)
             ks_pair = self._keyswitch_core(dim_s, l)
 
-            @jax.jit
+            @tpu_jit
             def f(dd0, dd1, ek0, ek1):
                 dhat = self.ring.ntt_f(rns_ops.decompose(dd1, bas, ws), dim_s)
                 ps = bas.ps[:, None]
@@ -758,7 +759,7 @@ class CKKS:
             perm = jnp.asarray(np.stack(
                 [ntt_galois_perm(ctx.poly.logn, j) for j in range(n1)]))
 
-            @jax.jit
+            @tpu_jit
             def f(c0, c1):
                 c1h = self.ring.ntt_f(rns_ops.decompose(c1, bas, ws), dims_h)
                 c0h = self.ring.ntt_f(rns_ops.decompose(c0, bac, wc), dimc)
@@ -801,7 +802,7 @@ class CKKS:
             r2c = jnp.array(ctx.poly.basis(dimc).r2)
             ks_pair = self._keyswitch_core(dims_h, l, bound_bits=bits_h)
 
-            @jax.jit
+            @tpu_jit
             def f(c1p, c0p, ptx_i, ptb_i, rk0, rk1):
                 ps = bas.ps[:, None]
                 pvs = bas.pinv[:, None]

@@ -222,3 +222,22 @@ def test_reconstruct_fast_path_alpha_stress(pctx):
     for i, v in enumerate(vals):
         got = bigint.limbs_to_ints(fast[i:i + 1])[0]
         assert got == v % mod_f, (i, v, got)
+
+
+def test_geq_const_wide_bases():
+    """Hierarchical geq_const vs a python-int oracle at widths around the
+    62-limb single-round exactness boundary (logn=15/logq=881 key-switch
+    reaches K=68; the old single-round trick silently required K <= 62)."""
+    from gpqhe_tpu.ops import limbs as lb
+
+    rng = np.random.default_rng(7)
+    for k in (3, 62, 63, 68, 124, 125):
+        c_int = int.from_bytes(rng.bytes(4 * k), "little")
+        cl = np.frombuffer(c_int.to_bytes(4 * k, "little"), dtype=np.uint32).copy()
+        vals = [0, 1, c_int - 1, c_int, c_int + 1, (1 << (32 * k)) - 1] + \
+            [int.from_bytes(rng.bytes(4 * k), "little") for _ in range(24)]
+        a = np.stack([np.frombuffer(v.to_bytes(4 * k, "little"),
+                                    dtype=np.uint32).copy() for v in vals])
+        got = np.asarray(lb.geq_const(jnp.asarray(a), jnp.asarray(cl)))
+        want = np.array([v >= c_int for v in vals])
+        assert np.array_equal(got, want), k

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Lower the sharded (limb, coeff, batch) scheme programs through the REAL
+TPU backend (VERDICT r2 #7): a 1-chip mesh proves the shard_map program —
+psum CRT lifts, ppermute NTT block swaps and all — compiles through
+Mosaic/XLA:TPU and executes bit-exactly vs the single-device engine.
+
+All prior shard_map validation ran on the virtual CPU mesh only; the
+degenerate collectives here are the real backend's lowering of the same
+program the 8-way CPU mesh runs.
+
+Usage: timeout 1200 python tools/tpu_mesh_check.py   (real TPU, ~5 min)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpqhe_tpu.context import HeContext
+from gpqhe_tpu.parallel.mesh import (build_sharded_mul_rs, build_sharded_rot,
+                                     make_he_mesh3)
+from gpqhe_tpu.ring import sample as smp
+from gpqhe_tpu.scheme.engine import CKKS
+from gpqhe_tpu.substrate.surf import Surf
+
+
+def main():
+    t0 = time.time()
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+
+    mesh = make_he_mesh3(1, limb=1, coeff=1)
+    ctx = HeContext(logn=11, q=1 << 48, slots=4, Delta=1 << 20)
+    eng = CKKS(ctx, rng=Surf())
+    pk, sk = eng.keypair()
+    rlk = eng.genrlk(sk)
+    rk = eng.genrk(sk, rotations=[1])
+    m0 = smp.sample_z01vec(eng.rng, ctx.slots)
+    ct = eng.enc_pk(eng.ecd(m0), pk)
+    print(f"keys ready ({time.time()-t0:.0f}s)", flush=True)
+
+    def bat(x):
+        return jnp.broadcast_to(x[None], (2,) + x.shape)
+
+    f = build_sharded_mul_rs(eng, ctx.L, mesh)
+    c0, c1 = f(bat(ct.c0), bat(ct.c1), bat(ct.c0), bat(ct.c1),
+               rlk.p0hat, rlk.p1hat)
+    c0.block_until_ready()
+    print(f"sharded mul_rs compiled+ran on TPU ({time.time()-t0:.0f}s)",
+          flush=True)
+    ref = eng.mul_rs(ct, ct, rlk)
+    assert np.array_equal(np.asarray(c0[0]), np.asarray(ref.c0)), "c0 differs"
+    assert np.array_equal(np.asarray(c1[0]), np.asarray(ref.c1)), "c1 differs"
+    print("mul_rs bit-exact vs engine", flush=True)
+
+    fr = build_sharded_rot(eng, ct.l, mesh, 1)
+    r0, r1 = fr(bat(ct.c0), bat(ct.c1), rk[1].p0hat, rk[1].p1hat)
+    r0.block_until_ready()
+    refr = eng.rot(ct.copy(), 1, rk)
+    assert np.array_equal(np.asarray(r0[0]), np.asarray(refr.c0)), "rot c0 differs"
+    assert np.array_equal(np.asarray(r1[0]), np.asarray(refr.c1)), "rot c1 differs"
+    print(f"rot bit-exact vs engine ({time.time()-t0:.0f}s)", flush=True)
+    print("TPU-mesh check: OK (sharded mul_rs AND rot lowered through "
+          "Mosaic/XLA:TPU, bit-exact vs the single-device engine)")
+
+
+if __name__ == "__main__":
+    main()
