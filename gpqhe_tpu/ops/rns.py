@@ -228,8 +228,18 @@ def reconstruct_core(res, ps, pinv, phatinv_mont, phat_planes, inv_p, negP16,
     af = jnp.einsum("...dn,d->...n", y.astype(jnp.float64), inv_p)
     if axis_name is not None:
         import jax
-        s_digits = jax.lax.psum(s_digits, axis_name)
-        af = jax.lax.psum(af, axis_name)
+        # XLA:TPU lowers all-reduce only over NATIVE element types; u64 and
+        # f64 are emulated (u32 pair / f32 pair) and the AOT compiler rejects
+        # their add reducers ("Supported lowering only of Sum all reduce").
+        # Pre-alpha digit sums are < 8*dim_total*255^2 (< 2^25 at any
+        # security-table dim; u32-exact up to dim_total ~8000), so a u32
+        # psum is exact.  The alpha estimate tolerates f32: per-shard
+        # rounding <= 2^-24 * dim_total stays far inside both the exact
+        # path's +/-1 alpha correction and the fast path's 1/4 frac margin.
+        s_digits = jax.lax.psum(
+            s_digits.astype(jnp.uint32), axis_name).astype(jnp.uint64)
+        af = jax.lax.psum(
+            af.astype(jnp.float32), axis_name).astype(jnp.float64)
     alpha = jnp.clip(jnp.floor(af), 0.0, float(dim_total))
     # S - alpha*P == S + alpha*(M - P) mod M: digit sums stay < 2^34 + 2^23
     s_digits = s_digits + alpha.astype(jnp.uint64)[..., None] * negP16[:kd]

@@ -63,21 +63,19 @@ def test_fold_matches_butterfly(ring, P, inverse):
 def test_engine_fold_split(ring):
     """A stack larger than the VMEM fold budget splits into grouped calls."""
     pctx, ba = ring
-    eng = RingEngine(pctx, ntt_impl="pallas")
-    fold_budget = eng._PALLAS_FOLD_BUDGET
-    try:
-        eng._PALLAS_FOLD_BUDGET = 2 * N  # force fold cap = 2
-        assert eng.pallas_fold(4) == 2
-        assert eng.pallas_fold(3) == 1
-        a = _rand(pctx, 4)
-        ref = ntt(a, ba.zetas, ba.ps, ba.pinv)
-        got = eng.ntt_f(a, DIM)
-        assert jnp.array_equal(ref, got)
-        refi = intt(a, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
-        goti = eng.ntt_i(a, DIM)
-        assert jnp.array_equal(refi, goti)
-    finally:
-        eng._PALLAS_FOLD_BUDGET = fold_budget
+    class SmallBudgetEngine(RingEngine):
+        _pallas_fold_budget = 2 * N  # force fold cap = 2 (shadows the property)
+
+    eng = SmallBudgetEngine(pctx, ntt_impl="pallas")
+    assert eng.pallas_fold(4) == 2
+    assert eng.pallas_fold(3) == 1
+    a = _rand(pctx, 4)
+    ref = ntt(a, ba.zetas, ba.ps, ba.pinv)
+    got = eng.ntt_f(a, DIM)
+    assert jnp.array_equal(ref, got)
+    refi = intt(a, ba.zetas_inv, ba.ps, ba.pinv, ba.ninv_mont)
+    goti = eng.ntt_i(a, DIM)
+    assert jnp.array_equal(refi, goti)
 
 
 def test_scheme_mul_pallas_backend():
