@@ -155,15 +155,17 @@ def phat_plane_table(plan: ReconPlan) -> np.ndarray:
     return out
 
 
-def digit_matmul_u16(y8, planes):
+def digit_matmul_cols(y8, planes):
     """Exact digit convolution on the MXU: y8 [..., K, n] bf16 (8-bit digit
     planes, K = 8 * dim), planes [K, kd8] bf16 (shifted 8-bit weight digits)
-    -> u64 [..., n, kd8 // 2] sums of 16-bit digit positions.
+    -> i32 [..., n, kd8] per-column sums of 8-bit digit products.
 
     Every product < 2^16 and every chunk accumulates <= 8 * _CHUNK_PRIMES
     terms, so the f32 MXU accumulator is integer-exact per chunk; chunks are
-    summed exactly in i32, and adjacent 8-bit columns fold into 16-bit digit
-    sums (< 2^34) in u64."""
+    summed exactly in i32.  Each column sum is bounded by
+    8 * dim * 255^2 < 2^25 for any dim <= ~8000 — small enough that the
+    sharded path can psum these columns in u32 exactly BEFORE the 16-bit
+    fold (the folded sums are 257x larger and would wrap u32 at dim >= 37)."""
     K = y8.shape[-2]
     step = 8 * _CHUNK_PRIMES
     acc = None
@@ -173,8 +175,19 @@ def digit_matmul_u16(y8, planes):
                           preferred_element_type=jnp.float32)
         pi = part.astype(jnp.int32)
         acc = pi if acc is None else acc + pi
-    s8 = acc.astype(jnp.uint64)
+    return acc
+
+
+def fold_cols_u16(s8_cols):
+    """i32/u32 8-bit column sums [..., n, kd8] -> u64 16-bit digit sums
+    [..., n, kd8 // 2]: s[0::2] + 256 * s[1::2] (< 2^34 in u64)."""
+    s8 = s8_cols.astype(jnp.uint64)
     return s8[..., 0::2] + (s8[..., 1::2] << jnp.uint64(8))
+
+
+def digit_matmul_u16(y8, planes):
+    """digit_matmul_cols followed by the 16-bit fold (single-device path)."""
+    return fold_cols_u16(digit_matmul_cols(y8, planes))
 
 
 def reconstruct_core(res, ps, pinv, phatinv_mont, phat_planes, inv_p, negP16,
@@ -223,7 +236,7 @@ def reconstruct_core(res, ps, pinv, phatinv_mont, phat_planes, inv_p, negP16,
          for t in range(8)], axis=-2)                     # [..., dim, 8, n]
     Y = y8.reshape(y.shape[:-2] + (8 * dim_here, n_here))
     W = phat_planes[..., :kd8].reshape(8 * dim_here, kd8).astype(jnp.bfloat16)
-    s_digits = digit_matmul_u16(Y, W)                     # u64[..., n, kd]
+    s_cols = digit_matmul_cols(Y, W)                      # i32[..., n, kd8]
     # alpha = floor(S / P) estimated in f64, corrected exactly below
     af = jnp.einsum("...dn,d->...n", y.astype(jnp.float64), inv_p)
     if axis_name is not None:
@@ -231,15 +244,19 @@ def reconstruct_core(res, ps, pinv, phatinv_mont, phat_planes, inv_p, negP16,
         # XLA:TPU lowers all-reduce only over NATIVE element types; u64 and
         # f64 are emulated (u32 pair / f32 pair) and the AOT compiler rejects
         # their add reducers ("Supported lowering only of Sum all reduce").
-        # Pre-alpha digit sums are < 8*dim_total*255^2 (< 2^25 at any
-        # security-table dim; u32-exact up to dim_total ~8000), so a u32
-        # psum is exact.  The alpha estimate tolerates f32: per-shard
-        # rounding <= 2^-24 * dim_total stays far inside both the exact
-        # path's +/-1 alpha correction and the fast path's 1/4 frac margin.
-        s_digits = jax.lax.psum(
-            s_digits.astype(jnp.uint32), axis_name).astype(jnp.uint64)
+        # The psum runs on the PRE-FOLD 8-bit column sums: each column is
+        # < 8*dim_total*255^2 < 2^25 at any security-table dim (u32-exact up
+        # to dim_total ~8000).  The folded 16-bit sums would be 257x larger
+        # and wrap u32 at dim_total >= 37 (the bootstrap-scale key-switch
+        # basis is ~48), so the fold happens AFTER the psum.  The alpha
+        # estimate tolerates f32: per-shard rounding <= 2^-24 * dim_total
+        # stays far inside both the exact path's +/-1 alpha correction and
+        # the fast path's 1/4 frac margin.
+        s_cols = jax.lax.psum(
+            s_cols.astype(jnp.uint32), axis_name).astype(jnp.int32)
         af = jax.lax.psum(
             af.astype(jnp.float32), axis_name).astype(jnp.float64)
+    s_digits = fold_cols_u16(s_cols)                      # u64[..., n, kd]
     alpha = jnp.clip(jnp.floor(af), 0.0, float(dim_total))
     # S - alpha*P == S + alpha*(M - P) mod M: digit sums stay < 2^34 + 2^23
     s_digits = s_digits + alpha.astype(jnp.uint64)[..., None] * negP16[:kd]

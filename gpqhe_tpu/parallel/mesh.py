@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..context import PolyContext
 from ..utils.xla import tpu_jit
@@ -107,7 +107,7 @@ def build_sharded_poly_mul(pctx: PolyContext, dim: int, k_in: int,
         in_specs=(P("batch", None, None), P("batch", None, None),
                   *const_specs.values()),
         out_specs=P("batch", None, None),
-        check_rep=False,
+        check_vma=False,
     )
 
     @tpu_jit
@@ -393,7 +393,7 @@ def build_sharded_rot(eng, l: int, mesh: Mesh, rot: int | None):
         + (P("limb", "coeff"), P("limb", "coeff"))
         + tuple(specs[k] for k in cnames),
         out_specs=(P("batch", "coeff", None), P("batch", "coeff", None)),
-        check_rep=False,
+        check_vma=False,
     )
 
     @tpu_jit
@@ -490,7 +490,7 @@ def build_sharded_gemv_step(eng, l: int, n1: int, dims_h: int, dimc: int,
         in_specs=(P(None, "limb", "coeff"),) * 6
         + tuple(specs[k] for k in cnames),
         out_specs=(P("coeff", None), P("coeff", None)),
-        check_rep=False,
+        check_vma=False,
     )
 
     @tpu_jit
@@ -605,7 +605,7 @@ def build_sharded_mul_rs(eng, l: int, mesh: Mesh):
         + (P("limb", "coeff"), P("limb", "coeff"))
         + tuple(specs[k] for k in cnames),
         out_specs=(P("batch", "coeff", None), P("batch", "coeff", None)),
-        check_rep=False,
+        check_vma=False,
     )
 
     @tpu_jit
@@ -680,7 +680,7 @@ def build_sharded_poly_mul_3d(pctx: PolyContext, dim: int, k_in: int,
         in_specs=(P("batch", "coeff", None), P("batch", "coeff", None),
                   *const_specs.values()),
         out_specs=P("batch", "coeff", None),
-        check_rep=False,
+        check_vma=False,
     )
 
     @tpu_jit
