@@ -97,11 +97,11 @@ class HoistedGemvPlan(GemvPlan):
         return max(pt.size_bound for pt in self.pts.values())
 
     def dims(self, eng: CKKS, l: int):
-        """(dims_h, dimc, nu_max) for level l."""
+        """(dims_h, dimc, nu_max) for level l (via eng.gemv_dims, which the
+        mesh engine overrides to pad to limb-axis multiples)."""
         nu_max = max(pt.nu for pt in self.pts.values())
-        bnd = self.bound_max()
-        return (eng.dim_hoist(l, bnd * self.n1),
-                eng.ctx.dim_mulpt(l, bnd * self.n1), nu_max)
+        dims_h, dimc = eng.gemv_dims(l, self.bound_max() * self.n1)
+        return dims_h, dimc, nu_max
 
     def pack_slab(self, eng: CKKS, l: int, i: int,
                   dims: tuple[int, int] | None = None):
@@ -149,7 +149,7 @@ def gemv_hoisted(eng: CKKS, plan: HoistedGemvPlan, ct: Ciphertext,
     program (lax.scan over baby steps inside), so compile time and device
     memory stay flat as slots grow."""
     l = ct.l
-    if (eng.dim_hoist(l, plan.bound_max() * plan.n1) > eng.dimswk_h
+    if (eng.gemv_dims(l, plan.bound_max() * plan.n1)[0] > eng.dimswk_h
             or eng.ring.ntt_impl == "matmul"):
         # plaintext scale exceeds the switch-key hoisting margin (or the
         # backend's NTT ordering has no permutation tables) — classic path.

@@ -469,7 +469,7 @@ class CKKS:
             c = rns_ops.reconstruct(res, ba, plan, center=True,
                                     k_out=kq, bound_bits=bound_bits,
                                     pre_scaled=True)
-            r = rns_ops.reconstruct(res[:ctx.dim], ba8_adj, plan8,
+            r = rns_ops.reconstruct(res[..., :ctx.dim, :], ba8_adj, plan8,
                                     center=False, k_out=plan8.ks)
             cm = lb.resize(c, kq)
             rm = lb.resize(r, kq)
@@ -480,9 +480,18 @@ class CKKS:
 
         def pair(u0h, u1h):
             # both halves' inverse NTTs in one folded kernel call, with the
-            # phat^-1 reconstruct multiply fused into the INTT scaling
-            res = self.ring.ntt_i(jnp.stack([u0h, u1h]), dim,
-                                  scale_phatinv=True)
+            # phat^-1 reconstruct multiply fused into the INTT scaling.
+            # Batched callers pass [B, dim, n]: flatten to a [2B, dim, n]
+            # poly fold so the pallas backend still engages (it takes at
+            # most one leading axis).
+            s = jnp.stack([u0h, u1h])
+            if s.ndim == 4:
+                B = s.shape[1]
+                res = self.ring.ntt_i(s.reshape(2 * B, dim, s.shape[-1]),
+                                      dim, scale_phatinv=True)
+                res = res.reshape(2, B, dim, s.shape[-1])
+            else:
+                res = self.ring.ntt_i(s, dim, scale_phatinv=True)
             return post(res[0]), post(res[1])
         return pair
 
@@ -589,6 +598,101 @@ class CKKS:
         B = ct1.nu * ct2.B + ct2.nu * ct1.B + ct1.B * ct2.B + ctx.bounds.Bmult[l]
         return Ciphertext(l=lnew, nu=nu / self.Delta,
                           B=B / self.Delta + ctx.bounds.Brs, c0=c0, c1=c1)
+
+    def mul_rs_batch_fn(self, l: int, B: int):
+        """Batched fused multiply+relinearize+rescale: B independent
+        ciphertext pairs as ONE jitted program — the NTT poly-fold axis
+        carries 4B forward / 3B+2B inverse transforms per kernel stack, so
+        per-ciphertext cost amortizes (single-chip THROUGHPUT, vs the
+        latency-oriented mul_rs).  At logn=14 the 64 MiB scoped-VMEM budget
+        admits B=8 (n*4B <= 2^19, utils/xla.py).
+
+        f(c10, c11, c20, c21, ek0, ek1) with ct args [B, n, klv]
+        -> (c0, c1) [B, n, kl(l-1)].  Same math as mul_step_fn per element.
+        """
+        ctx = self.ctx
+        qb = self.qbits(l)
+        klv = self.kl(l)
+        qbn = self.qbits(l - 1)
+        kln = self.kl(l - 1)
+        logD = ctx.p.bit_length() - 1
+        dim_m = ctx.dim_mul(l)
+        dim_s = ctx.dim_swk(l)
+        key = ("he_mul_rs_batch", l, B)
+
+        def build():
+            self.ring.prepare(dim_m, folds=(4 * B, 3 * B))
+            self.ring.prepare(dim_s, folds=(B, 2 * B))
+            bam = self.ring.ba(dim_m)
+            planm = self.ring.recon(dim_m)
+            r2m = jnp.array(ctx.poly.basis(dim_m).r2)
+            bas = self.ring.ba(dim_s)
+            r2s = jnp.array(ctx.poly.basis(dim_s).r2)
+            ks_pair = self._keyswitch_core(dim_s, l)
+            wm = self.ring.weights(dim_m, klv)
+            ws = self.ring.weights(dim_s, klv)
+            n = ctx.poly.n
+
+            @tpu_jit
+            def f(c10, c11, c20, c21, ek0, ek1):
+                dec = jnp.stack([rns_ops.decompose(x, bam, wm)
+                                 for x in (c10, c11, c20, c21)])  # [4,B,dim,n]
+                hat = self.ring.ntt_f(dec.reshape(4 * B, dim_m, n), dim_m)
+                x0, x1, y0, y1 = hat.reshape(4, B, dim_m, n)
+                pm = bam.ps[:, None]
+                pvm = bam.pinv[:, None]
+                d0h = mulmod(x0, y0, pm, pvm, r2m[:, None])
+                d2h = mulmod(x1, y1, pm, pvm, r2m[:, None])
+                d1h = addmod(mulmod(x0, y1, pm, pvm, r2m[:, None]),
+                             mulmod(x1, y0, pm, pvm, r2m[:, None]), pm)
+                resb = self.ring.ntt_i(
+                    jnp.stack([d0h, d1h, d2h]).reshape(3 * B, dim_m, n),
+                    dim_m, scale_phatinv=True).reshape(3, B, dim_m, n)
+
+                def back(res):
+                    c = rns_ops.reconstruct(res, bam, planm, center=True,
+                                            k_out=klv,
+                                            bound_bits=ctx.bits_mul(l),
+                                            pre_scaled=True)
+                    return lb.resize(lb.mask_bits(c, qb), klv)
+                d0, d1, d2 = back(resb[0]), back(resb[1]), back(resb[2])
+                d2hat = self.ring.ntt_f(
+                    rns_ops.decompose(d2, bas, ws), dim_s)   # [B, dim_s, n]
+                ps = bas.ps[:, None]
+                pvs = bas.pinv[:, None]
+                u0h = mulmod(d2hat, ek0[:dim_s], ps, pvs, r2s[:, None])
+                u1h = mulmod(d2hat, ek1[:dim_s], ps, pvs, r2s[:, None])
+                u0, u1 = ks_pair(u0h, u1h)
+                c0 = lb.mask_bits(lb.add(u0, d0), qb)
+                c1 = lb.mask_bits(lb.add(u1, d1), qb)
+
+                def rs1(x):
+                    return lb.resize(
+                        lb.mask_bits(lb.rshift_round(x, logD), qbn), kln)
+                return rs1(c0), rs1(c1)
+            return f
+        return self._cached(key, build)
+
+    def mul_rs_batch(self, cts1: list, cts2: list, rlk: SwitchKey) -> list:
+        """Batched mul_rs over aligned ciphertext lists (one level)."""
+        ctx = self.ctx
+        B = len(cts1)
+        l = cts1[0].l
+        assert all(c.l == l for c in cts1 + cts2)
+        f = self.mul_rs_batch_fn(l, B)
+        c0, c1 = f(jnp.stack([c.c0 for c in cts1]),
+                   jnp.stack([c.c1 for c in cts1]),
+                   jnp.stack([c.c0 for c in cts2]),
+                   jnp.stack([c.c1 for c in cts2]),
+                   rlk.p0hat, rlk.p1hat)
+        out = []
+        for i, (a, b) in enumerate(zip(cts1, cts2)):
+            nu = a.nu * b.nu
+            Bn = a.nu * b.B + b.nu * a.B + a.B * b.B + ctx.bounds.Bmult[l]
+            out.append(Ciphertext(l=l - 1, nu=nu / self.Delta,
+                                  B=Bn / self.Delta + ctx.bounds.Brs,
+                                  c0=c0[i], c1=c1[i]))
+        return out
 
     def mulpt(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
         """Plaintext product (ref: src/he-mult.c:159-196)."""
@@ -731,6 +835,12 @@ class CKKS:
         accumulation (the classic relin bound of ctx.dim_swk grown by the
         plaintext-sum magnitude)."""
         return self.bits_hoist(l, nu_sum) // self.ctx.logp_prime + 1
+
+    def gemv_dims(self, l: int, bnd_sum: float) -> tuple[int, int]:
+        """(dims_h, dimc) bases for the hoisted gemv at level l.  Overridden
+        by the mesh engine to pad both to limb-axis multiples (extra chain
+        primes only enlarge the CRT range — results are bit-identical)."""
+        return self.dim_hoist(l, bnd_sum), self.ctx.dim_mulpt(l, bnd_sum)
 
     def hoisted_gemv_prep_fn(self, l: int, n1: int, dims_h: int, dimc: int):
         """Jitted hoisting prologue: decompose+NTT c0/c1 ONCE in the extended

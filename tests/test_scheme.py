@@ -153,3 +153,24 @@ def test_mul_rs_fused(eng, keys):
     assert fus.l == sep.l
     assert jnp.array_equal(fus.c0, sep.c0)
     assert jnp.array_equal(fus.c1, sep.c1)
+
+
+def test_mul_rs_batch_matches_single(eng, keys):
+    """Batched fused mul_rs (one program, NTT poly-fold axis = 4B) ==
+    per-element mul_rs, bit for bit (VERDICT r3 #7 throughput path)."""
+    pk, sk, rlk, ck, rk = keys
+    import jax.numpy as jnp
+    B = 3
+    cts1, cts2, refs = [], [], []
+    for _ in range(B):
+        a = eng.enc_pk(eng.ecd(smp.sample_z01vec(eng.rng, eng.ctx.slots)), pk)
+        b = eng.enc_pk(eng.ecd(smp.sample_z01vec(eng.rng, eng.ctx.slots)), pk)
+        cts1.append(a)
+        cts2.append(b)
+        refs.append(eng.mul_rs(a, b, rlk))
+    outs = eng.mul_rs_batch(cts1, cts2, rlk)
+    for i in range(B):
+        assert outs[i].l == refs[i].l
+        assert jnp.array_equal(outs[i].c0, refs[i].c0), f"c0[{i}]"
+        assert jnp.array_equal(outs[i].c1, refs[i].c1), f"c1[{i}]"
+        assert outs[i].nu == refs[i].nu and outs[i].B == refs[i].B
