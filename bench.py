@@ -1,20 +1,31 @@
 #!/usr/bin/env python
-"""Benchmark: the two north-star metrics from BASELINE.md on one chip.
+"""Benchmark: the north-star metrics from BASELINE.md on one chip.
 
   1. negacyclic NTT throughput at N = 2^16 (one "op" = one forward
      length-65536 NTT over one 59-bit prime);
   2. fused ciphertext mult+relinearize+rescale latency at the reference's
      linear-op parameters (logn=14, logq=438 — ref: tests/gpqhe.c:1296-1299),
-     with a decode-correctness check against the plaintext product.
+     with a decode-correctness check against the plaintext product;
+  3. the same op's amortized per-ciphertext THROUGHPUT at batch=8 (one
+     program, NTT poly-fold axis = 4B — CKKS.mul_rs_batch);
+  4. double-hoisted BSGS gemv latency at the same parameters (slots=16);
+  5. full bootstrap latency at the reference's own comparison scale
+     (logn=15, logq=881, slots=4, Delta=2^30, h=64, iter=9 — the deepest
+     composition, ref: src/he-bootstrap.c:477-546), decode diff < 1e-2.
+     Guarded: a failure (e.g. tunnel compile limits) still emits metrics
+     1-4.  Skip with BENCH_SKIP_BOOTSTRAP=1.
 
 The reference publishes no numbers, so vs_baseline for (1) is the speedup
 over a vectorized numpy CPU implementation of the identical kernel on this
-host, and for (2) the round-1 starting latency (36.2 ms) over the current
-one.
+host, for (2) the round-1 starting latency (36.2 ms) over the current one,
+for (3) the per-ct speedup over this run's single-ct latency, for (4) the
+round-1 classic-path latency at logn=12 (41.0 ms), and for (5) 1.0 (no
+earlier measurement exists).
 
 Prints one JSON line per metric:
-  {"metric": "ntt_n65536_ops_per_sec", "value": N, "unit": "ntt/s", "vs_baseline": R}
-  {"metric": "mul_rs_ms", "value": N, "unit": "ms", "vs_baseline": R}
+  {"metric": "ntt_n65536_ops_per_sec", "value": N, "unit": "ntt/s", ...}
+  {"metric": "mul_rs_ms", ...}  {"metric": "mul_rs_batch8_ms_per_ct", ...}
+  {"metric": "gemv_ms", ...}    {"metric": "bootstrap_s", ...}
 """
 
 import json
@@ -191,6 +202,119 @@ def main():
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(36.2 / ms, 3),   # round-1 starting latency
+    }), flush=True)
+
+    # ---- throughput: amortized ms/ct at batch=8 (one fused program)
+    Bb = 8
+    cts1 = [ct1] * Bb
+    cts2 = [ct2] * Bb
+    outs = eng.mul_rs_batch(cts1, cts2, rlk)      # compile + warm
+    _jax.block_until_ready([(o.c0, o.c1) for o in outs])
+    gotb = eng.dcd(eng.dec(outs[0], sk))
+    diffb = float(np.max(np.abs(gotb - m1 * m2)))
+    assert diffb < 1e-5, f"batched mul_rs decode diff {diffb}"
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        outs = eng.mul_rs_batch(cts1, cts2, rlk)
+    _jax.block_until_ready([(o.c0, o.c1) for o in outs])
+    ms_ct = (time.time() - t0) / iters / Bb * 1e3
+    log(f"mul_rs batch={Bb}: {ms_ct:.2f} ms/ct amortized "
+        f"({time.time()-t_start:.1f}s)")
+    print(json.dumps({
+        "metric": "mul_rs_batch8_ms_per_ct",
+        "value": round(ms_ct, 2),
+        "unit": "ms/ct",
+        "vs_baseline": round(ms / ms_ct, 3),    # speedup vs this run's latency
+    }), flush=True)
+
+    # ---- algorithm layer: double-hoisted BSGS gemv at slots=16
+    from gpqhe_tpu.algo.linalg import HoistedGemvPlan, gemv
+    rk = eng.genrk(sk)
+    rng_np = np.random.default_rng(1)
+    A = (rng_np.standard_normal(ctx.slots * ctx.slots)
+         + 1j * rng_np.standard_normal(ctx.slots * ctx.slots))
+    plan = HoistedGemvPlan(eng, A)
+    out = gemv(eng, None, ct1, rk, plan=plan, hoisted=True)   # compile + warm
+    _jax.block_until_ready((out.c0, out.c1))
+    got = eng.dcd(eng.dec(out, sk))
+    want = A.reshape(ctx.slots, ctx.slots) @ m1
+    diffg = float(np.max(np.abs(got - want)))
+    assert diffg < 1e-5, f"gemv decode diff {diffg}"
+    assert plan.fallbacks == 0, "hoisted gemv fell back to the classic path"
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        out = gemv(eng, None, ct1, rk, plan=plan, hoisted=True)
+    _jax.block_until_ready((out.c0, out.c1))
+    ms_g = (time.time() - t0) / iters * 1e3
+    log(f"gemv (hoisted, slots=16, logn=14): {ms_g:.2f} ms "
+        f"({time.time()-t_start:.1f}s)")
+    print(json.dumps({
+        "metric": "gemv_ms",
+        "value": round(ms_g, 2),
+        "unit": "ms",
+        "vs_baseline": round(41.0 / ms_g, 3),   # round-1 classic, logn=12
+    }), flush=True)
+
+    # ---- bootstrap at the reference's own scale (guarded)
+    if os.environ.get("BENCH_SKIP_BOOTSTRAP") == "1":
+        log("bootstrap: skipped (BENCH_SKIP_BOOTSTRAP=1)")
+        return
+    try:
+        bench_bootstrap(t_start)
+    except Exception as e:           # emit partial results, not a dead round
+        log(f"bootstrap benchmark FAILED: {type(e).__name__}: {e}")
+
+
+def bench_bootstrap(t_start):
+    """Reference-scale bootstrap (logn=15, logq=881, h=64, iter=9) on the
+    chip: the deepest composition (raise -> SubSum -> c2s -> EvalSin -> s2c,
+    dozens of per-level programs).  Mirrors tests/test_bootstrap_refscale.py:
+    message scaled by 0.1, decode gate 1e-2 (see doc/architecture.md's
+    bootstrap error budget: EvalSin's approximation error in message units
+    is ~q_src/(2pi*Delta) * eps_taylor, far above the 1e-5 linear-op gate)."""
+    import jax as _jax
+    import numpy as np
+
+    from gpqhe_tpu import bootstrap as bs
+    from gpqhe_tpu.context import HeContext
+    from gpqhe_tpu.ring import sample as smp
+    from gpqhe_tpu.scheme.engine import CKKS
+    from gpqhe_tpu.substrate.surf import Surf
+
+    ctx = HeContext(logn=15, q=1 << 881, slots=4, Delta=1 << 30)
+    eng = CKKS(ctx, rng=Surf(), ntt_impl="pallas")
+    pk, sk = eng.keypair()
+    rlk = eng.genrlk(sk)
+    ck = eng.genck(sk)
+    rk = eng.genrk(sk, bs.bootstrap_rotations(ctx))
+    log(f"bootstrap: keys ready ({time.time()-t_start:.1f}s)")
+    m0 = 0.1 * smp.sample_z01vec(eng.rng, ctx.slots)
+    ct = eng.enc_pk(eng.ecd(m0), pk)
+    # consume levels down to l=1 so the raise has work to do
+    while ct.l > 1:
+        ct = eng.moddown(ct)
+    bctx = bs.BootstrapContext(eng)
+    t0 = time.time()
+    out = bs.bootstrap(eng, bctx, ct, rlk, ck, rk, iter=9)
+    _jax.block_until_ready((out.c0, out.c1))
+    cold_s = time.time() - t0
+    got = eng.dcd(eng.dec(out, sk))
+    diff = float(np.max(np.abs(got - m0)))
+    log(f"bootstrap cold (compiles included): {cold_s:.1f}s, diff {diff:.2e}")
+    assert diff < 1e-2, f"bootstrap decode diff {diff} exceeds 1e-2"
+    assert out.l >= 10, f"bootstrap landed too low (l={out.l})"
+    t0 = time.time()
+    out = bs.bootstrap(eng, bctx, ct, rlk, ck, rk, iter=9)
+    _jax.block_until_ready((out.c0, out.c1))
+    warm_s = time.time() - t0
+    log(f"bootstrap warm: {warm_s:.2f}s (levels left: {out.l})")
+    print(json.dumps({
+        "metric": "bootstrap_s",
+        "value": round(warm_s, 2),
+        "unit": "s",
+        "vs_baseline": 1.0,
     }), flush=True)
 
 
