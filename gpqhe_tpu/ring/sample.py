@@ -95,18 +95,45 @@ def sample_zo(rng: Surf, n: int) -> np.ndarray:
     return np.where(b0 == 0, 0, np.where(b1 == 0, 1, -1)).astype(np.int64)
 
 
+def sample_uniform_bytes(rng: Surf, n: int, q: int) -> np.ndarray:
+    """Raw byte matrix u8[n, nbytes] behind sample_uniform: one stream draw,
+    identical bytes to n per-coefficient randombytes(nbytes) calls."""
+    qbits = q.bit_length()
+    nbytes = qbits // 8 + 1
+    return rng.randombytes(n * nbytes).reshape(n, nbytes)
+
+
+def uniform_bytes_to_ints(buf: np.ndarray, qbits: int) -> list[int]:
+    """Vectorized load_nbits_le over rows of u8[n, qbits//8+1]."""
+    nq, r = divmod(qbits, 8)
+    rows = np.ascontiguousarray(buf[:, :nq]).tobytes()
+    step = nq
+    out = [int.from_bytes(rows[i * step:(i + 1) * step], "little")
+           for i in range(buf.shape[0])]
+    if r:
+        top = (buf[:, nq].astype(np.uint64) & np.uint64((1 << r) - 1))
+        shift = 8 * nq
+        out = [v | (int(t) << shift) for v, t in zip(out, top)]
+    return out
+
+
+def uniform_bytes_to_limbs(buf: np.ndarray, qbits: int, k: int) -> np.ndarray:
+    """Vectorized load_nbits_le -> u32[n, k] limb tensor (no python ints)."""
+    nq, r = divmod(qbits, 8)
+    n = buf.shape[0]
+    full = np.zeros((n, 4 * k), dtype=np.uint8)
+    full[:, :nq] = buf[:, :nq]
+    if r:
+        full[:, nq] = buf[:, nq] & ((1 << r) - 1)
+    return full.view(np.uint32).reshape(n, k)
+
+
 def sample_uniform_ints(rng: Surf, n: int, q: int) -> list[int]:
     """Uniform mod-q-width coefficients (ref: src/sample.c:133-141).
 
     Draws nbits(q) bits per coefficient; values are in [0, 2^nbits(q)), which
     may exceed q — the reference stores them unreduced too."""
-    qbits = q.bit_length()
-    nbytes = qbits // 8 + 1
-    out = []
-    for _ in range(n):
-        buf = rng.randombytes(nbytes)
-        out.append(load_nbits_le(buf, qbits))
-    return out
+    return uniform_bytes_to_ints(sample_uniform_bytes(rng, n, q), q.bit_length())
 
 
 def poly_uniform(n: int, seed: bytes, q: int, blksiz: int = params.BLKSIZ) -> np.ndarray:

@@ -189,14 +189,14 @@ class CKKS:
         ctx = self.ctx
         n = ctx.poly.n
         qL = ctx.q[ctx.L]
-        sk = jnp.asarray(bigint.ints_to_limbs(
-            [int(x) for x in sample.sample_sk(self.rng, n)], 1))
+        sk = jnp.asarray(bigint.i64_to_limbs(sample.sample_sk(self.rng, n), 1))
         e = sample.sample_error(self.rng, n)
-        p1 = jnp.asarray(bigint.ints_to_limbs(
-            sample.sample_uniform_ints(self.rng, n, qL), self.kq))
+        p1 = jnp.asarray(sample.uniform_bytes_to_limbs(
+            sample.sample_uniform_bytes(self.rng, n, qL),
+            qL.bit_length(), self.kq))
         prod = self.ring.poly_mul(sk, p1, ctx.dim, qL.bit_length(), self.kq,
                                   signed_a=32, signed_b=None)
-        e_l = jnp.asarray(bigint.ints_to_limbs([int(x) for x in e], self.kq))
+        e_l = jnp.asarray(bigint.i64_to_limbs(e, self.kq))
         p0 = self._neg_add_mask(prod, e_l, qL.bit_length())
         return PublicKey(p0=p0, p1=p1), SecretKey(s=sk)
 
@@ -210,22 +210,25 @@ class CKKS:
             return f
         return self._cached(key, build)(a, b)
 
-    def genswk(self, sp_ints: list[int], sk: SecretKey) -> SwitchKey:
+    def genswk(self, sp_ints, sk: SecretKey) -> SwitchKey:
         """Key-switching key for secret sp (ref: src/he-kem.c:74-118).
-        Sampling order: e, then swkp1."""
+        Sampling order: e, then swkp1.  sp_ints: per-coefficient secret to
+        switch FROM — a list of python ints or an int64 array."""
         ctx = self.ctx
         n = ctx.poly.n
         PqL = ctx.PqL
         e = sample.sample_error(self.rng, n)
-        swkp1_ints = sample.sample_uniform_ints(self.rng, n, PqL)
+        swk_bytes = sample.sample_uniform_bytes(self.rng, n, PqL)
         k_big = bigint.nlimbs(PqL.bit_length())
-        swkp1 = jnp.asarray(bigint.ints_to_limbs(swkp1_ints, k_big))
+        swkp1 = jnp.asarray(sample.uniform_bytes_to_limbs(
+            swk_bytes, PqL.bit_length(), k_big))
         dim = ctx.dim_genswk()
         prod_bits = 32 * (k_big + 2)
         prod = self.ring.poly_mul(swkp1, sk.s, dim, prod_bits, k_big + 2,
                                   signed_a=None, signed_b=32)
         prod_ints = self._poly_to_ints_signed(prod, prod_bits)
-        swkp0_ints = [(-c + int(ei) + ctx.P * spi) % PqL
+        P = ctx.P
+        swkp0_ints = [(-c + int(ei) + P * int(spi)) % PqL
                       for c, ei, spi in zip(prod_ints, e, sp_ints)]
         swkp0 = jnp.asarray(bigint.ints_to_limbs(swkp0_ints, k_big))
         # NTT-resident storage over the dimswk basis (ref: src/he-kem.c:103-110),
@@ -240,17 +243,20 @@ class CKKS:
         ctx = self.ctx
         s2 = self.ring.poly_mul(sk.s, sk.s, ctx.dim_rlk_s2(), 64, 2,
                                 signed_a=32, signed_b=32)
-        s2_ints = self._poly_to_ints_signed(s2, 64)
-        return self.genswk(s2_ints, sk)
+        s2np = np.asarray(s2).astype(np.uint64)
+        s2_i64 = (s2np[:, 0] | (s2np[:, 1] << np.uint64(32))).astype(np.int64)
+        return self.genswk(s2_i64, sk)
+
+    def _sk_i64(self, sk: SecretKey) -> np.ndarray:
+        """Secret-key coefficients as signed int64 (k=1 limb, vectorized)."""
+        return np.asarray(sk.s)[:, 0].astype(np.int32).astype(np.int64)
 
     def genck(self, sk: SecretKey) -> SwitchKey:
         """Conjugation key from conj(sk) (ref: src/he-kem.c:139-152)."""
-        sk_ints = self._poly_to_ints_signed(sk.s, 32)
-        n = self.ctx.poly.n
-        conj = [0] * n
-        conj[0] = sk_ints[0]
-        for i in range(1, n):
-            conj[i] = -sk_ints[n - i]
+        sk_i = self._sk_i64(sk)
+        conj = np.empty_like(sk_i)
+        conj[0] = sk_i[0]
+        conj[1:] = -sk_i[:0:-1]
         return self.genswk(conj, sk)
 
     def genrk(self, sk: SecretKey, rotations=None) -> dict[int, SwitchKey]:
@@ -260,18 +266,16 @@ class CKKS:
         restrict (sampling order still matches for the generated subset)."""
         ctx = self.ctx
         n, m = ctx.poly.n, ctx.poly.m
-        sk_ints = self._poly_to_ints_signed(sk.s, 32)
+        sk_i = self._sk_i64(sk)
+        idx = np.arange(n, dtype=np.int64)
         rots = range(ctx.slots) if rotations is None else rotations
         out = {}
         for rot in rots:
             power = pow(params.ROT, rot, m)
-            rk_ints = [0] * n
-            for i in range(n):
-                k = (i * power) % m
-                if k < n:
-                    rk_ints[k] = sk_ints[i]
-                else:
-                    rk_ints[k - n] = -sk_ints[i]
+            k = (idx * power) % m
+            wrap = k >= n
+            rk_ints = np.zeros(n, dtype=np.int64)
+            rk_ints[np.where(wrap, k - n, k)] = np.where(wrap, -sk_i, sk_i)
             out[rot] = self.genswk(rk_ints, sk)
         return out
 
@@ -285,16 +289,15 @@ class CKKS:
         ctx = self.ctx
         n = ctx.poly.n
         qb = self.qbits(ctx.L)
-        v = jnp.asarray(bigint.ints_to_limbs(
-            [int(x) for x in sample.sample_zo(self.rng, n)], 1))
+        v = jnp.asarray(bigint.i64_to_limbs(sample.sample_zo(self.rng, n), 1))
         e0 = sample.sample_error(self.rng, n)
         e1 = sample.sample_error(self.rng, n)
         c0 = self.ring.poly_mul(pk.p0, v, ctx.dim, qb, self.kq,
                                 signed_a=None, signed_b=32)
         c1 = self.ring.poly_mul(pk.p1, v, ctx.dim, qb, self.kq,
                                 signed_a=None, signed_b=32)
-        e0_l = jnp.asarray(bigint.ints_to_limbs([int(x) for x in e0], self.kq))
-        e1_l = jnp.asarray(bigint.ints_to_limbs([int(x) for x in e1], self.kq))
+        e0_l = jnp.asarray(bigint.i64_to_limbs(e0, self.kq))
+        e1_l = jnp.asarray(bigint.i64_to_limbs(e1, self.kq))
         m_l = lb.resize(pt.m, self.kq)
         c0 = self._add3_mask(c0, m_l, e0_l, qb)
         c1 = self._add2_mask(c1, e1_l, qb)
@@ -308,11 +311,13 @@ class CKKS:
         n = ctx.poly.n
         qb = self.qbits(ctx.L)
         e = sample.sample_error(self.rng, n)
-        c1 = jnp.asarray(bigint.ints_to_limbs(
-            sample.sample_uniform_ints(self.rng, n, ctx.q[ctx.L]), self.kq))
+        qL = ctx.q[ctx.L]
+        c1 = jnp.asarray(sample.uniform_bytes_to_limbs(
+            sample.sample_uniform_bytes(self.rng, n, qL),
+            qL.bit_length(), self.kq))
         prod = self.ring.poly_mul(c1, sk.s, ctx.dim, qb, self.kq,
                                   signed_a=None, signed_b=32)
-        e_l = jnp.asarray(bigint.ints_to_limbs([int(x) for x in e], self.kq))
+        e_l = jnp.asarray(bigint.i64_to_limbs(e, self.kq))
         m_l = lb.resize(pt.m, self.kq)
         c0 = self._negadd3_mask(prod, m_l, e_l, qb)
         nu = pt.nu if pt.nu >= self.Delta else self.Delta

@@ -30,9 +30,15 @@ def get_lib():
     try:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
-                check=True, capture_output=True)
+            cmd = ["cc", "-O3", "-march=native", "-funroll-loops",
+                   "-shared", "-fPIC", "-o", _SO, _SRC]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                # -march=native unsupported on some toolchains
+                subprocess.run(
+                    ["cc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
         lib.gpqhe_surf_blocks.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64,

@@ -36,6 +36,53 @@ static void surf_one(const uint32_t seed[32], const uint32_t in[12], uint32_t ou
     }
 }
 
+/* Width-W batched surf: W independent counters march through the identical
+ * round schedule, laid out as t[i][W] so the per-round update is a W-lane
+ * elementwise op the compiler auto-vectorizes (SSE/AVX).  Bit-exact vs
+ * surf_one — blocks are independent by construction. */
+#define SURF_W 32
+typedef uint32_t surf_vec __attribute__((vector_size(SURF_W * 4)));
+
+static inline surf_vec surf_splat(uint32_t v)
+{
+    surf_vec r;
+    for (int w = 0; w < SURF_W; ++w) r[w] = v;
+    return r;
+}
+
+static void surf_batch(const uint32_t seed[32], uint64_t ctr0,
+                       uint8_t *stream)
+{
+    surf_vec t[12], out[8], x;
+    uint32_t sum = 0;
+    int r, i, w, loop;
+    static const int shifts[12] = {5, 7, 9, 13, 5, 7, 9, 13, 5, 7, 9, 13};
+    for (w = 0; w < SURF_W; ++w) {
+        uint64_t ctr = ctr0 + (uint64_t)w;
+        t[0][w] = ((uint32_t)(ctr & 0xffffffffu)) ^ seed[12];
+        t[1][w] = ((uint32_t)(ctr >> 32)) ^ seed[13];
+    }
+    for (i = 2; i < 12; ++i) t[i] = surf_splat(seed[12 + i]);
+    for (i = 0; i < 8; ++i) out[i] = surf_splat(seed[24 + i]);
+    x = t[11];
+    for (loop = 0; loop < 2; ++loop) {
+        for (r = 0; r < 16; ++r) {
+            sum += 0x9e3779b9;
+            for (i = 0; i < 12; ++i) {
+                const surf_vec si = surf_splat(seed[i]);
+                const surf_vec sv = surf_splat(sum);
+                const int sh = shifts[i];
+                surf_vec rot = (x << sh) | (x >> (32 - sh));
+                x = t[i] = t[i] + ((((x ^ si) + sv) ^ rot));
+            }
+        }
+        for (i = 0; i < 8; ++i) out[i] ^= t[i + 4];
+    }
+    for (w = 0; w < SURF_W; ++w)
+        for (i = 0; i < 8; ++i)
+            stream[w * 8 + i] = (uint8_t)(out[7 - i][w] & 0xff);
+}
+
 /* Generate nblocks surf outputs for counters start+1 .. start+nblocks,
  * 8 stream bytes per block in consumption order (out[7]&0xff first). */
 void gpqhe_surf_blocks(const uint32_t seed[32], uint64_t start,
@@ -43,8 +90,11 @@ void gpqhe_surf_blocks(const uint32_t seed[32], uint64_t start,
 {
     uint32_t in[12];
     uint32_t out[8];
+    uint64_t b = 0;
     memset(in, 0, sizeof(in));
-    for (uint64_t b = 0; b < nblocks; b++) {
+    for (; b + SURF_W <= nblocks; b += SURF_W)
+        surf_batch(seed, start + 1 + b, stream + b * 8);
+    for (; b < nblocks; b++) {
         uint64_t ctr = start + 1 + b;
         in[0] = (uint32_t)(ctr & 0xffffffffu);
         in[1] = (uint32_t)(ctr >> 32);
