@@ -8,8 +8,15 @@ this package implements.
 on TPU via u32 pairs.
 """
 
+import os as _os
+
 import jax as _jax
 
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # The session may default to another backend (e.g. the axon TPU tunnel)
+    # in a way the env var alone does not override once the backend
+    # initializes; honor an explicit JAX_PLATFORMS=cpu before first use.
+    _jax.config.update("jax_platforms", "cpu")
 _jax.config.update("jax_enable_x64", True)
 
 from .context import HeContext, PolyContext  # noqa: E402,F401

@@ -28,7 +28,7 @@ NONLINEAR_OPS = ("exp", "log", "sigmoid", "inv", "sqrt", "cmp", "rlsin")
 def set_params(op: str, args: list[str]) -> dict:
     """Default parameter selection (ref: tests/gpqhe.c:1277-1345)."""
     p = dict(logn=14, logq=438, slots=16, logDelta=50, iter=5, alpha=2, idx=0,
-             impl="butterfly")
+             impl="butterfly", mesh=None)
     if op in NONLINEAR_OPS or op in ("coeff2slot", "bootstrap"):
         p.update(slots=4, logDelta=30)
     if op == "sqrt":
@@ -48,6 +48,11 @@ def set_params(op: str, args: list[str]) -> dict:
                 p[key] = int(a.split("=", 1)[1])
         if a.startswith("--impl="):
             p["impl"] = a.split("=", 1)[1]
+        if a.startswith("--mesh="):
+            # LxSxB over (limb, coeff, batch): route the key-switch-heavy
+            # ops through the shard_map mesh programs (parallel/engine.py)
+            p["mesh"] = tuple(int(x) for x in a.split("=", 1)[1].split("x"))
+            assert len(p["mesh"]) == 3, "--mesh=LIMBxCOEFFxBATCH"
     return p
 
 
@@ -69,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
     key = argv[1] if len(argv) > 1 and argv[1] in ("sk", "pk") else "sk"
     p = set_params(op, argv[1:])
 
+    import os
+
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the env var alone does not override the session's default backend
+        jax.config.update("jax_platforms", "cpu")
+
     from .algo import linalg, nonlinear
     from .context import HeContext
     from .ring import sample as smp
@@ -78,7 +90,15 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     ctx = HeContext(p["logn"], 1 << p["logq"], p["slots"], 1 << p["logDelta"])
-    eng = CKKS(ctx, rng=Surf(), ntt_impl=p["impl"])
+    if p["mesh"]:
+        from .parallel.engine import MeshCKKS
+        from .parallel.mesh import make_he_mesh3
+        L, S, B = p["mesh"]
+        mesh = make_he_mesh3(L * S * B, limb=L, coeff=S)
+        print(f"mesh mode: {dict(mesh.shape)}")
+        eng = MeshCKKS(ctx, mesh, rng=Surf(), ntt_impl=p["impl"])
+    else:
+        eng = CKKS(ctx, rng=Surf(), ntt_impl=p["impl"])
     show_ctx_params(ctx)
     m0 = smp.sample_z01vec(eng.rng, ctx.slots)
 

@@ -68,6 +68,25 @@ def main():
     assert np.array_equal(np.asarray(r0[0]), np.asarray(refr.c0)), "rot c0 differs"
     assert np.array_equal(np.asarray(r1[0]), np.asarray(refr.c1)), "rot c1 differs"
     print(f"rot bit-exact vs engine ({time.time()-t0:.0f}s)", flush=True)
+
+    # mesh-program efficiency at N=1: warm latency of the sharded program
+    # (B=2 batch) vs the plain engine program — the collective/shard_map
+    # overhead a real slice would amortize (README scaling table)
+    iters = 20
+    a0, a1 = bat(ct.c0), bat(ct.c1)
+    t1 = time.time()
+    for _ in range(iters):
+        c0, c1 = f(a0, a1, a0, a1, rlk.p0hat, rlk.p1hat)
+    c0.block_until_ready()
+    sh_ms = (time.time() - t1) / iters / 2 * 1e3     # per ciphertext
+    t1 = time.time()
+    for _ in range(iters):
+        ref = eng.mul_rs(ct, ct, rlk)
+    jax.block_until_ready((ref.c0, ref.c1))
+    en_ms = (time.time() - t1) / iters * 1e3
+    print(f"warm mul_rs ms/ct: sharded(1-chip mesh, B=2) {sh_ms:.2f} vs "
+          f"engine {en_ms:.2f} -> mesh-program efficiency "
+          f"{en_ms/sh_ms*100:.0f}%", flush=True)
     print("TPU-mesh check: OK (sharded mul_rs AND rot lowered through "
           "Mosaic/XLA:TPU, bit-exact vs the single-device engine)")
 
