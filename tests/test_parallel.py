@@ -355,3 +355,45 @@ def test_mesh_engine_coeff2slot_matches_single():
                      ("ct1.c0", ct1_s.c0, ct1_m.c0),
                      ("ct1.c1", ct1_s.c1, ct1_m.c1)]:
         assert np.array_equal(np.asarray(a), np.asarray(b)), f"{nm} differs"
+
+
+@pytest.mark.slow   # ~10 min: two full bootstrap compositions
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_engine_full_bootstrap_matches_single():
+    """The DEEPEST whole composition on the mesh engine: full bootstrap
+    (raise -> SubSum -> coeff2slot -> EvalSin -> slot2coeff -> rs, dozens
+    of rot/conj/mul_rs programs) on MeshCKKS, BIT-exact vs the single-device
+    engine and decode-correct (ref: src/he-bootstrap.c:477-546)."""
+    from gpqhe_tpu import bootstrap as bs
+    from gpqhe_tpu.context import HeContext
+    from gpqhe_tpu.parallel.engine import MeshCKKS
+    from gpqhe_tpu.parallel.mesh import make_he_mesh3
+    from gpqhe_tpu.ring import sample as smp
+    from gpqhe_tpu.scheme.engine import CKKS
+    from gpqhe_tpu.substrate.surf import Surf
+
+    # tiny-ring deep ladder (see tests/test_bootstrap.py): h=16 -> iter=7,
+    # logq mod 30 = 10 keeps q_0 = 2^10
+    ctx = HeContext(logn=5, q=1 << 790, slots=4, Delta=1 << 30)
+
+    def run(eng):
+        pk, sk = eng.keypair()
+        rlk = eng.genrlk(sk)
+        ck = eng.genck(sk)
+        rk = eng.genrk(sk, bs.bootstrap_rotations(ctx))
+        m0 = smp.sample_z01vec(eng.rng, ctx.slots) * 0.1
+        ct = eng.enc_pk(eng.ecd(m0), pk)
+        while ct.l > 1:
+            ct = eng.moddown(ct)
+        bctx = bs.BootstrapContext(eng)
+        out = bs.bootstrap(eng, bctx, ct, rlk, ck, rk, iter=7)
+        return out, m0, sk, eng
+
+    out_s, m0, sk, eng_s = run(CKKS(ctx, rng=Surf()))
+    mesh = make_he_mesh3(8, limb=2, coeff=4)   # batch=1: single-ct workload
+    out_m, _, _, eng_m = run(MeshCKKS(ctx, mesh, rng=Surf()))
+    assert eng_m._mesh_jit, "mesh engine never built a sharded program"
+    assert np.array_equal(np.asarray(out_s.c0), np.asarray(out_m.c0))
+    assert np.array_equal(np.asarray(out_s.c1), np.asarray(out_m.c1))
+    got = eng_s.dcd(eng_s.dec(out_m, sk))
+    assert np.max(np.abs(got - m0)) < 1e-2
