@@ -30,7 +30,7 @@ def main():
     from gpqhe_tpu.utils.xla import tpu_jit
 
     n = 1 << logn
-    pctx = PolyContext(logn, q=1 << 900, dim_cap=dim)
+    pctx = PolyContext(logn, q=1 << min(900, 27 * logn), dim_cap=dim)
     ring = RingEngine(pctx, ntt_impl="pallas")
     rng = np.random.default_rng(0)
 
