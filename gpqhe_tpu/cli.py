@@ -94,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
         from .parallel.engine import MeshCKKS
         from .parallel.mesh import make_he_mesh3
         L, S, B = p["mesh"]
+        import jax
+        ndev = len(jax.devices())
+        if ndev < L * S * B:
+            print(f"--mesh={L}x{S}x{B} needs {L*S*B} devices; this session has "
+                  f"{ndev}.  For a virtual CPU mesh run with\n"
+                  f"  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
+                  f"device_count={L*S*B}")
+            return 2
         mesh = make_he_mesh3(L * S * B, limb=L, coeff=S)
         print(f"mesh mode: {dict(mesh.shape)}")
         eng = MeshCKKS(ctx, mesh, rng=Surf(), ntt_impl=p["impl"])

@@ -158,7 +158,14 @@ def _inv_butterfly(x0l, x0h, x1l, x1h, zl, zh, zsl, zsh, sc):
 def _big_stages(alo, ahi, zb, zbs, sc, R, inverse):
     """Stages with len >= 128 on one poly slab M[R, C]; every row of a block
     shares one zeta.  Forward: len descending from n/2 to 128; inverse:
-    ascending 128..n/2 (GS)."""
+    ascending 128..n/2 (GS).
+
+    Consecutive stage PAIRS are fused into one pass (radix-4-style data
+    routing): the intermediate slab between the two stages never
+    materializes, halving the per-stage reshape/concat rewrites the NTT
+    roofline identified as the dominant overhead (README §roofline).  The
+    per-butterfly op order is unchanged, so results stay bit-identical to
+    the unfused path (and to the 'butterfly' backend)."""
     Ls = []
     L = R // 2
     while L >= 1:
@@ -167,45 +174,156 @@ def _big_stages(alo, ahi, zb, zbs, sc, R, inverse):
     if inverse:
         Ls = Ls[::-1]
     bf = _inv_butterfly if inverse else _fwd_butterfly
-    for L in Ls:
-        nb = R // (2 * L)
-        x0l = alo.reshape(nb, 2 * L, _C)[:, :L, :]
-        x0h = ahi.reshape(nb, 2 * L, _C)[:, :L, :]
-        x1l = alo.reshape(nb, 2 * L, _C)[:, L:, :]
-        x1h = ahi.reshape(nb, 2 * L, _C)[:, L:, :]
-        zl = zb[0, nb:2 * nb, :].reshape(nb, 1, _C)
-        zh = zb[1, nb:2 * nb, :].reshape(nb, 1, _C)
-        zsl = zbs[0, nb:2 * nb, :].reshape(nb, 1, _C)
-        zsh = zbs[1, nb:2 * nb, :].reshape(nb, 1, _C)
-        y0l, y0h, y1l, y1h = bf(x0l, x0h, x1l, x1h, zl, zh, zsl, zsh, sc)
-        alo = jnp.concatenate([y0l, y1l], axis=1).reshape(R, _C)
-        ahi = jnp.concatenate([y0h, y1h], axis=1).reshape(R, _C)
+
+    def zslice(start, cnt, group):
+        """(lo, hi, shoup-lo, shoup-hi) zeta rows [start, start+cnt) shaped
+        (cnt//group, group, 1->C broadcastable)."""
+        zl = zb[0, start:start + cnt, :].reshape(cnt // group, group, _C)
+        zh = zb[1, start:start + cnt, :].reshape(cnt // group, group, _C)
+        zsl = zbs[0, start:start + cnt, :].reshape(cnt // group, group, _C)
+        zsh = zbs[1, start:start + cnt, :].reshape(cnt // group, group, _C)
+        return zl, zh, zsl, zsh
+
+    i = 0
+    while i < len(Ls):
+        fuse = i + 1 < len(Ls)
+        if fuse and not inverse:
+            L = Ls[i]                       # distance L, then L//2
+            h = L // 2
+            nb = R // (2 * L)
+            xl = alo.reshape(nb, 4, h, _C)
+            xh = ahi.reshape(nb, 4, h, _C)
+            zAl, zAh, zAsl, zAsh = zslice(nb, nb, 1)
+            zBl, zBh, zBsl, zBsh = zslice(2 * nb, 2 * nb, 2)
+            a0l, a0h, a2l, a2h = bf(xl[:, 0], xh[:, 0], xl[:, 2], xh[:, 2],
+                                    zAl, zAh, zAsl, zAsh, sc)
+            a1l, a1h, a3l, a3h = bf(xl[:, 1], xh[:, 1], xl[:, 3], xh[:, 3],
+                                    zAl, zAh, zAsl, zAsh, sc)
+            b0l, b0h, b1l, b1h = bf(a0l, a0h, a1l, a1h,
+                                    zBl[:, 0:1], zBh[:, 0:1],
+                                    zBsl[:, 0:1], zBsh[:, 0:1], sc)
+            b2l, b2h, b3l, b3h = bf(a2l, a2h, a3l, a3h,
+                                    zBl[:, 1:2], zBh[:, 1:2],
+                                    zBsl[:, 1:2], zBsh[:, 1:2], sc)
+            alo = jnp.concatenate([b0l, b1l, b2l, b3l], axis=1).reshape(R, _C)
+            ahi = jnp.concatenate([b0h, b1h, b2h, b3h], axis=1).reshape(R, _C)
+            i += 2
+        elif fuse:
+            L = Ls[i]                       # distance L, then 2L (GS)
+            nb2 = R // (4 * L)
+            xl = alo.reshape(nb2, 4, L, _C)
+            xh = ahi.reshape(nb2, 4, L, _C)
+            zAl, zAh, zAsl, zAsh = zslice(2 * nb2, 2 * nb2, 2)
+            zBl, zBh, zBsl, zBsh = zslice(nb2, nb2, 1)
+            a0l, a0h, a1l, a1h = bf(xl[:, 0], xh[:, 0], xl[:, 1], xh[:, 1],
+                                    zAl[:, 0:1], zAh[:, 0:1],
+                                    zAsl[:, 0:1], zAsh[:, 0:1], sc)
+            a2l, a2h, a3l, a3h = bf(xl[:, 2], xh[:, 2], xl[:, 3], xh[:, 3],
+                                    zAl[:, 1:2], zAh[:, 1:2],
+                                    zAsl[:, 1:2], zAsh[:, 1:2], sc)
+            b0l, b0h, b2l, b2h = bf(a0l, a0h, a2l, a2h,
+                                    zBl, zBh, zBsl, zBsh, sc)
+            b1l, b1h, b3l, b3h = bf(a1l, a1h, a3l, a3h,
+                                    zBl, zBh, zBsl, zBsh, sc)
+            alo = jnp.concatenate([b0l, b1l, b2l, b3l], axis=1).reshape(R, _C)
+            ahi = jnp.concatenate([b0h, b1h, b2h, b3h], axis=1).reshape(R, _C)
+            i += 2
+        else:
+            L = Ls[i]
+            nb = R // (2 * L)
+            x0l = alo.reshape(nb, 2 * L, _C)[:, :L, :]
+            x0h = ahi.reshape(nb, 2 * L, _C)[:, :L, :]
+            x1l = alo.reshape(nb, 2 * L, _C)[:, L:, :]
+            x1h = ahi.reshape(nb, 2 * L, _C)[:, L:, :]
+            zl, zh, zsl, zsh = zslice(nb, nb, 1)
+            y0l, y0h, y1l, y1h = bf(x0l, x0h, x1l, x1h, zl, zh, zsl, zsh, sc)
+            alo = jnp.concatenate([y0l, y1l], axis=1).reshape(R, _C)
+            ahi = jnp.concatenate([y0h, y1h], axis=1).reshape(R, _C)
+            i += 1
     return alo, ahi
 
 
 def _tail_stages(tlo, thi, zt, zts, sc, W, inverse):
     """Stages with len < 128 on M^T [C, W] (W = R).  Forward: len descending
     64..1; inverse: ascending 1..64.  zt rows are laid out in the same
-    order."""
+    order.  Stage pairs are fused exactly like _big_stages (the zeta PLANES
+    are per-stage rows consumed at two offsets per pass)."""
     lens = [64, 32, 16, 8, 4, 2, 1]
     if inverse:
         lens = lens[::-1]
     bf = _inv_butterfly if inverse else _fwd_butterfly
+
+    def zplane(off, cnt, group, zarr):
+        return zarr[0, off:off + cnt, :].reshape(cnt // group, group, W), \
+            zarr[1, off:off + cnt, :].reshape(cnt // group, group, W)
+
+    offs = []
     off = 0
     for ln in lens:
-        gpr = _C // (2 * ln)
-        x0l = tlo.reshape(gpr, 2 * ln, W)[:, :ln, :]
-        x0h = thi.reshape(gpr, 2 * ln, W)[:, :ln, :]
-        x1l = tlo.reshape(gpr, 2 * ln, W)[:, ln:, :]
-        x1h = thi.reshape(gpr, 2 * ln, W)[:, ln:, :]
-        zl = zt[0, off:off + gpr, :].reshape(gpr, 1, W)
-        zh = zt[1, off:off + gpr, :].reshape(gpr, 1, W)
-        zsl = zts[0, off:off + gpr, :].reshape(gpr, 1, W)
-        zsh = zts[1, off:off + gpr, :].reshape(gpr, 1, W)
-        y0l, y0h, y1l, y1h = bf(x0l, x0h, x1l, x1h, zl, zh, zsl, zsh, sc)
-        tlo = jnp.concatenate([y0l, y1l], axis=1).reshape(_C, W)
-        thi = jnp.concatenate([y0h, y1h], axis=1).reshape(_C, W)
-        off += gpr
+        offs.append(off)
+        off += _C // (2 * ln)
+
+    i = 0
+    while i < len(lens):
+        fuse = i + 1 < len(lens)
+        if fuse and not inverse:
+            ln = lens[i]                     # distance ln, then ln//2
+            h = ln // 2
+            g = _C // (2 * ln)
+            xl = tlo.reshape(g, 4, h, W)
+            xh = thi.reshape(g, 4, h, W)
+            zAl, zAh = zplane(offs[i], g, 1, zt)
+            zAsl, zAsh = zplane(offs[i], g, 1, zts)
+            zBl, zBh = zplane(offs[i + 1], 2 * g, 2, zt)
+            zBsl, zBsh = zplane(offs[i + 1], 2 * g, 2, zts)
+            a0l, a0h, a2l, a2h = bf(xl[:, 0], xh[:, 0], xl[:, 2], xh[:, 2],
+                                    zAl, zAh, zAsl, zAsh, sc)
+            a1l, a1h, a3l, a3h = bf(xl[:, 1], xh[:, 1], xl[:, 3], xh[:, 3],
+                                    zAl, zAh, zAsl, zAsh, sc)
+            b0l, b0h, b1l, b1h = bf(a0l, a0h, a1l, a1h,
+                                    zBl[:, 0:1], zBh[:, 0:1],
+                                    zBsl[:, 0:1], zBsh[:, 0:1], sc)
+            b2l, b2h, b3l, b3h = bf(a2l, a2h, a3l, a3h,
+                                    zBl[:, 1:2], zBh[:, 1:2],
+                                    zBsl[:, 1:2], zBsh[:, 1:2], sc)
+            tlo = jnp.concatenate([b0l, b1l, b2l, b3l], axis=1).reshape(_C, W)
+            thi = jnp.concatenate([b0h, b1h, b2h, b3h], axis=1).reshape(_C, W)
+            i += 2
+        elif fuse:
+            ln = lens[i]                     # distance ln, then 2*ln (GS)
+            g = _C // (4 * ln)
+            xl = tlo.reshape(g, 4, ln, W)
+            xh = thi.reshape(g, 4, ln, W)
+            zAl, zAh = zplane(offs[i], 2 * g, 2, zt)
+            zAsl, zAsh = zplane(offs[i], 2 * g, 2, zts)
+            zBl, zBh = zplane(offs[i + 1], g, 1, zt)
+            zBsl, zBsh = zplane(offs[i + 1], g, 1, zts)
+            a0l, a0h, a1l, a1h = bf(xl[:, 0], xh[:, 0], xl[:, 1], xh[:, 1],
+                                    zAl[:, 0:1], zAh[:, 0:1],
+                                    zAsl[:, 0:1], zAsh[:, 0:1], sc)
+            a2l, a2h, a3l, a3h = bf(xl[:, 2], xh[:, 2], xl[:, 3], xh[:, 3],
+                                    zAl[:, 1:2], zAh[:, 1:2],
+                                    zAsl[:, 1:2], zAsh[:, 1:2], sc)
+            b0l, b0h, b2l, b2h = bf(a0l, a0h, a2l, a2h,
+                                    zBl, zBh, zBsl, zBsh, sc)
+            b1l, b1h, b3l, b3h = bf(a1l, a1h, a3l, a3h,
+                                    zBl, zBh, zBsl, zBsh, sc)
+            tlo = jnp.concatenate([b0l, b1l, b2l, b3l], axis=1).reshape(_C, W)
+            thi = jnp.concatenate([b0h, b1h, b2h, b3h], axis=1).reshape(_C, W)
+            i += 2
+        else:
+            ln = lens[i]
+            gpr = _C // (2 * ln)
+            x0l = tlo.reshape(gpr, 2 * ln, W)[:, :ln, :]
+            x0h = thi.reshape(gpr, 2 * ln, W)[:, :ln, :]
+            x1l = tlo.reshape(gpr, 2 * ln, W)[:, ln:, :]
+            x1h = thi.reshape(gpr, 2 * ln, W)[:, ln:, :]
+            zl, zh = zplane(offs[i], gpr, 1, zt)
+            zsl, zsh = zplane(offs[i], gpr, 1, zts)
+            y0l, y0h, y1l, y1h = bf(x0l, x0h, x1l, x1h, zl, zh, zsl, zsh, sc)
+            tlo = jnp.concatenate([y0l, y1l], axis=1).reshape(_C, W)
+            thi = jnp.concatenate([y0h, y1h], axis=1).reshape(_C, W)
+            i += 1
     return tlo, thi
 
 

@@ -53,6 +53,7 @@ class ReconPlan:
     MminusP_limbs: np.ndarray  # u32[ks] 2^(32 ks) - P
     inv_p: np.ndarray       # f64[dim]
     logP: int               # P.bit_length() (fast-path margin validation)
+    nplanes: int = 8        # 8-bit digit planes covering one residue (< p)
 
 
 def make_basis_arrays(poly_ctx, dim: int) -> BasisArrays:
@@ -88,6 +89,10 @@ def make_recon_plan(poly_ctx, dim: int) -> ReconPlan:
         MminusP_limbs=bigint.int_to_limbs((1 << (32 * ks)) - b.P, ks),
         inv_p=np.array([1.0 / p for p in b.primes], dtype=np.float64),
         logP=b.P.bit_length(),
+        # residues are < p: short-prime chains (logp<=29 perf mode, TEST_CRT)
+        # need fewer source digit planes, keeping the MXU contraction length
+        # nplanes*dim roughly constant as dim grows with 1/logp
+        nplanes=(max(b.primes).bit_length() + 7) // 8,
     )
 
 
@@ -139,18 +144,20 @@ _CHUNK_PRIMES = 32
 
 
 def phat_plane_table(plan: ReconPlan) -> np.ndarray:
-    """f32[dim, 8, 2*ds]: 8-bit digit planes of phat_d, shifted by the source
-    digit position t (row (d, t), col s holds phat8[d, s - t]).  Operand of
-    the exact bf16 MXU digit matmul in reconstruct_core: 8-bit digits make
-    both matmul inputs bf16-exact, so the MXU's native bf16 x bf16 -> f32
-    path computes the digit convolution EXACTLY (every product < 2^16,
-    chunked accumulation < 2^24)."""
+    """f32[dim, nplanes, 2*ds]: 8-bit digit planes of phat_d, shifted by the
+    source digit position t (row (d, t), col s holds phat8[d, s - t]).
+    Operand of the exact bf16 MXU digit matmul in reconstruct_core: 8-bit
+    digits make both matmul inputs bf16-exact, so the MXU's native
+    bf16 x bf16 -> f32 path computes the digit convolution EXACTLY (every
+    product < 2^16, chunked accumulation < 2^24).  nplanes = the source
+    planes a residue (< p) actually occupies (8 for the 59-bit chain, 4 for
+    the logp<=29 perf chain)."""
     ds8 = 2 * plan.ds
     phat8 = np.zeros((plan.dim, ds8), dtype=np.float32)
     phat8[:, 0::2] = (plan.phat16 & np.uint64(0xFF)).astype(np.float32)
     phat8[:, 1::2] = ((plan.phat16 >> np.uint64(8)) & np.uint64(0xFF)).astype(np.float32)
-    out = np.zeros((plan.dim, 8, ds8), dtype=np.float32)
-    for t in range(8):
+    out = np.zeros((plan.dim, plan.nplanes, ds8), dtype=np.float32)
+    for t in range(plan.nplanes):
         out[:, t, t:] = phat8[:, :ds8 - t]
     return out
 
@@ -229,13 +236,14 @@ def reconstruct_core(res, ps, pinv, phatinv_mont, phat_planes, inv_p, negP16,
     dim_here = res.shape[-2]
     n_here = res.shape[-1]
     kd8_full = phat_planes.shape[-1]
+    npl = phat_planes.shape[-2]
     kd8 = min(4 * k_out, kd8_full) if fast else kd8_full
     kd = kd8 // 2
     y8 = jnp.stack(
         [((y >> jnp.uint64(8 * t)) & jnp.uint64(0xFF)).astype(jnp.bfloat16)
-         for t in range(8)], axis=-2)                     # [..., dim, 8, n]
-    Y = y8.reshape(y.shape[:-2] + (8 * dim_here, n_here))
-    W = phat_planes[..., :kd8].reshape(8 * dim_here, kd8).astype(jnp.bfloat16)
+         for t in range(npl)], axis=-2)                   # [..., dim, npl, n]
+    Y = y8.reshape(y.shape[:-2] + (npl * dim_here, n_here))
+    W = phat_planes[..., :kd8].reshape(npl * dim_here, kd8).astype(jnp.bfloat16)
     s_cols = digit_matmul_cols(Y, W)                      # i32[..., n, kd8]
     # alpha = floor(S / P) estimated in f64, corrected exactly below
     af = jnp.einsum("...dn,d->...n", y.astype(jnp.float64), inv_p)

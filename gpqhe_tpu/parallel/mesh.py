@@ -213,9 +213,16 @@ def _intt_coeff_sharded(x, zl, zc, ps, pinv, ninv, plan, axis: str):
 
 
 def make_he_mesh3(n_devices: int | None = None, limb: int = 1,
-                  coeff: int = 1) -> Mesh:
-    """Create a (limb, coeff, batch) mesh over available devices."""
-    devs = jax.devices()
+                  coeff: int = 1, devices=None) -> Mesh:
+    """Create a (limb, coeff, batch) mesh.
+
+    devices: explicit GLOBAL device list (defaults to jax.devices(), which
+    under a jax.distributed multi-process setup already enumerates every
+    process's devices — so one mesh can span processes/hosts; collectives
+    then ride the cross-process fabric, the DCN analogue).  Process-local
+    devices come first per process index, so a (limb, coeff, batch) reshape
+    puts the limb axis across processes when limb is the slowest axis."""
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is None:
         n_devices = len(devs)
     batch = n_devices // (limb * coeff)

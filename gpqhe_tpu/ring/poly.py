@@ -71,10 +71,24 @@ class RingEngine:
         from ..utils.xla import scoped_vmem_bytes
         return scoped_vmem_bytes() // 128
 
+    # Single-word u32 kernel engages automatically for logp<=29 chains
+    # (p < 2^30 keeps the lazy < 4p invariant inside u32 — see
+    # ops/ntt_pallas32.py; ~6x fewer VPU ops per butterfly than the
+    # u64-pair kernel the 59-bit reference-parity chain needs).
+    @property
+    def _pallas_u32(self) -> bool:
+        return self.pctx.primes[self.pctx.dimub - 1] < (1 << 30)
+
     def pallas_plan(self, dim: int, P: int = 1, F: int = 1):
         if (dim, P, F) not in self._pallas:
-            from ..ops.ntt_pallas import make_pallas_plan
-            self._pallas[(dim, P, F)] = make_pallas_plan(self.pctx, dim, P, F)
+            if self._pallas_u32:
+                from ..ops.ntt_pallas32 import make_pallas32_plan
+                self._pallas[(dim, P, F)] = make_pallas32_plan(
+                    self.pctx, dim, P, F)
+            else:
+                from ..ops.ntt_pallas import make_pallas_plan
+                self._pallas[(dim, P, F)] = make_pallas_plan(
+                    self.pctx, dim, P, F)
         return self._pallas[(dim, P, F)]
 
     def pallas_fold(self, P: int) -> int:
@@ -113,7 +127,10 @@ class RingEngine:
     def _pallas_ntt(self, res, dim: int, inverse: bool, scaled: bool = False):
         import jax
 
-        from ..ops.ntt_pallas import ntt_pallas
+        if self._pallas_u32:
+            from ..ops.ntt_pallas32 import ntt_pallas32 as ntt_pallas
+        else:
+            from ..ops.ntt_pallas import ntt_pallas
         if res.ndim == 2:
             F = self.pallas_prime_fold(dim, 1)
             return ntt_pallas(res, self.pallas_plan(dim, 1, F), inverse,

@@ -70,14 +70,36 @@ def test_bigint_roundtrip():
 
 def test_native_substrate_matches_numpy():
     """The C substrate (built on demand) must be byte-identical to the numpy
-    oracle; skip cleanly when no compiler is available."""
+    oracle; skip cleanly when no compiler is available.
+
+    The expected stream is built from the numpy _surf_batch directly (NOT
+    Surf.randombytes, which itself routes through the C lib when present) so
+    the SIMD surf_batch path — all 32 lanes, the batch boundary and the
+    scalar tail — has an independent in-suite oracle (advisor r4)."""
+    import numpy as np
+
     from gpqhe_tpu.substrate import native as nat
 
     if nat.get_lib() is None:
         pytest.skip("no C compiler")
-    out = nat.surf_blocks(surf._SEED_DEFAULT, 0, 500)
-    s = surf.Surf()
-    assert bytes(out[:100]) == bytes(s.randombytes(100))
+    # 2*SURF_W+1 = 65 blocks: two full SIMD batches plus a scalar-tail block
+    nblocks = 2 * 32 + 1
+    out = nat.surf_blocks(surf._SEED_DEFAULT, 0, nblocks)
+    idx = 1 + np.arange(nblocks, dtype=np.uint64)   # C increments first
+    ctr = np.zeros((4, nblocks), dtype=np.uint32)
+    for i in range(4):
+        ctr[i] = ((idx >> np.uint64(32 * i)) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    want = surf._surf_batch(ctr, surf._SEED_DEFAULT).reshape(-1)
+    assert bytes(out) == bytes(want)
+    # and at a counter start that straddles the u32 lane boundary
+    big = (1 << 32) - 3
+    out2 = nat.surf_blocks(surf._SEED_DEFAULT, big, 40)
+    idx2 = big + 1 + np.arange(40, dtype=np.uint64)
+    ctr2 = np.zeros((4, 40), dtype=np.uint32)
+    for i in range(4):
+        ctr2[i] = ((idx2 >> np.uint64(32 * i)) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    want2 = surf._surf_batch(ctr2, surf._SEED_DEFAULT).reshape(-1)
+    assert bytes(out2) == bytes(want2)
     for msg in [b"", b"abc", b"q" * 300]:
         assert nat.shake(168, 0x1F, msg, 64) == hashlib.shake_128(msg).digest(64)
         assert nat.shake(136, 0x06, msg, 32) == hashlib.sha3_256(msg).digest()

@@ -27,16 +27,19 @@ def main():
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     logq = int(sys.argv[2]) if len(sys.argv) > 2 else 438
     impl = sys.argv[3] if len(sys.argv) > 3 else "butterfly"
+    logp = int(sys.argv[4]) if len(sys.argv) > 4 else 59
     t0 = time.time()
     from gpqhe_tpu.context import HeContext
     from gpqhe_tpu.ring import sample as smp
     from gpqhe_tpu.scheme.engine import CKKS
     from gpqhe_tpu.substrate.surf import Surf
     from gpqhe_tpu.utils.pmu import time_jitted
+    from gpqhe_tpu.utils.xla import enable_persistent_cache
+    enable_persistent_cache()
 
-    ctx = HeContext(logn=logn, q=1 << logq, slots=16, Delta=1 << 50)
+    ctx = HeContext(logn=logn, q=1 << logq, slots=16, Delta=1 << 50, logp=logp)
     eng = CKKS(ctx, rng=Surf(), ntt_impl=impl)
-    log(f"[{time.time()-t0:.0f}s] ntt_impl={impl} ctx logn={logn} logq={logq} "
+    log(f"[{time.time()-t0:.0f}s] ntt_impl={impl} logp={logp} ctx logn={logn} logq={logq} "
         f"dim_mul={ctx.dim_mul(ctx.L)} dim_swk={ctx.dim_swk(ctx.L)} "
         f"on {jax.devices()[0]}")
     pk, sk = eng.keypair()

@@ -29,8 +29,13 @@ def main():
     from gpqhe_tpu.ring.poly import RingEngine
     from gpqhe_tpu.utils.xla import tpu_jit
 
+    from gpqhe_tpu import params
+
     n = 1 << logn
-    pctx = PolyContext(logn, q=1 << min(900, 27 * logn), dim_cap=dim)
+    # cap q at the security-table bound (tiny rings bypass the table)
+    logq = min(27 * logn, params.he_std_params(logn) or 900) if logn >= 10 \
+        else 27 * logn
+    pctx = PolyContext(logn, q=1 << logq, dim_cap=dim)
     ring = RingEngine(pctx, ntt_impl="pallas")
     rng = np.random.default_rng(0)
 

@@ -63,15 +63,15 @@ def main():
     print(f"ICI bandwidth model: {bw/1e9:.0f} GB/s per device")
     print(f"{'N':>3} {'mesh(L,S,B)':>12} {'comm MB/dev':>12} "
           f"{'t_comm ms':>10} {'t/N ms':>8} {'eff %':>6}")
+    import math
     for N, (L, S, B) in [(1, (1, 1, 1)), (2, (2, 1, 1)), (4, (2, 2, 1)),
                          (8, (2, 2, 2)), (16, (4, 2, 2)), (32, (4, 4, 2))]:
-        import math
         # ppermute volume per device: 10 stacks, half-slab per cross stage
         dim_stack = 4 * dim_m + 3 * dim_m + dim_s + 2 * dim_s
         pp = math.log2(S) * (dim_stack / L) * (n / S) * 8 / 2 if S > 1 else 0
         # psum ring volume per device: 5 column blocks
         ps = 5 * 2 * (L - 1) / L * (n / S) * kd8 * 4 if L > 1 else 0
-        comm = (pp + ps) * B / B      # per device (batch shards are independent)
+        comm = pp + ps        # per device (batch shards are independent)
         t_comm = comm / bw * 1e3
         t_n = t_ms / N
         eff = t_n / (t_n + t_comm) * 100
