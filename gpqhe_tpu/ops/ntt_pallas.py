@@ -160,12 +160,16 @@ def _big_stages(alo, ahi, zb, zbs, sc, R, inverse):
     shares one zeta.  Forward: len descending from n/2 to 128; inverse:
     ascending 128..n/2 (GS).
 
-    Consecutive stage PAIRS are fused into one pass (radix-4-style data
+    FORWARD stage PAIRS are fused into one pass (radix-4-style data
     routing): the intermediate slab between the two stages never
     materializes, halving the per-stage reshape/concat rewrites the NTT
     roofline identified as the dominant overhead (README §roofline).  The
     per-butterfly op order is unchanged, so results stay bit-identical to
-    the unfused path (and to the 'butterfly' backend)."""
+    the unfused path (and to the 'butterfly' backend).  INVERSE stages stay
+    unfused: the fused GS pass is a Mosaic compile pathology on v5e — a
+    (P=8, F=2) inverse kernel sat >29 min in the remote compile helper (and
+    (P=8, F=4) got OOM-SIGKILLed) while the same-shape fused FORWARD kernel
+    compiled in ~8 min and unfused inverse kernels compile in minutes."""
     Ls = []
     L = R // 2
     while L >= 1:
@@ -186,8 +190,8 @@ def _big_stages(alo, ahi, zb, zbs, sc, R, inverse):
 
     i = 0
     while i < len(Ls):
-        fuse = i + 1 < len(Ls)
-        if fuse and not inverse:
+        fuse = i + 1 < len(Ls) and not inverse
+        if fuse:
             L = Ls[i]                       # distance L, then L//2
             h = L // 2
             nb = R // (2 * L)
@@ -205,26 +209,6 @@ def _big_stages(alo, ahi, zb, zbs, sc, R, inverse):
             b2l, b2h, b3l, b3h = bf(a2l, a2h, a3l, a3h,
                                     zBl[:, 1:2], zBh[:, 1:2],
                                     zBsl[:, 1:2], zBsh[:, 1:2], sc)
-            alo = jnp.concatenate([b0l, b1l, b2l, b3l], axis=1).reshape(R, _C)
-            ahi = jnp.concatenate([b0h, b1h, b2h, b3h], axis=1).reshape(R, _C)
-            i += 2
-        elif fuse:
-            L = Ls[i]                       # distance L, then 2L (GS)
-            nb2 = R // (4 * L)
-            xl = alo.reshape(nb2, 4, L, _C)
-            xh = ahi.reshape(nb2, 4, L, _C)
-            zAl, zAh, zAsl, zAsh = zslice(2 * nb2, 2 * nb2, 2)
-            zBl, zBh, zBsl, zBsh = zslice(nb2, nb2, 1)
-            a0l, a0h, a1l, a1h = bf(xl[:, 0], xh[:, 0], xl[:, 1], xh[:, 1],
-                                    zAl[:, 0:1], zAh[:, 0:1],
-                                    zAsl[:, 0:1], zAsh[:, 0:1], sc)
-            a2l, a2h, a3l, a3h = bf(xl[:, 2], xh[:, 2], xl[:, 3], xh[:, 3],
-                                    zAl[:, 1:2], zAh[:, 1:2],
-                                    zAsl[:, 1:2], zAsh[:, 1:2], sc)
-            b0l, b0h, b2l, b2h = bf(a0l, a0h, a2l, a2h,
-                                    zBl, zBh, zBsl, zBsh, sc)
-            b1l, b1h, b3l, b3h = bf(a1l, a1h, a3l, a3h,
-                                    zBl, zBh, zBsl, zBsh, sc)
             alo = jnp.concatenate([b0l, b1l, b2l, b3l], axis=1).reshape(R, _C)
             ahi = jnp.concatenate([b0h, b1h, b2h, b3h], axis=1).reshape(R, _C)
             i += 2
@@ -265,8 +249,8 @@ def _tail_stages(tlo, thi, zt, zts, sc, W, inverse):
 
     i = 0
     while i < len(lens):
-        fuse = i + 1 < len(lens)
-        if fuse and not inverse:
+        fuse = i + 1 < len(lens) and not inverse
+        if fuse:
             ln = lens[i]                     # distance ln, then ln//2
             h = ln // 2
             g = _C // (2 * ln)
@@ -286,28 +270,6 @@ def _tail_stages(tlo, thi, zt, zts, sc, W, inverse):
             b2l, b2h, b3l, b3h = bf(a2l, a2h, a3l, a3h,
                                     zBl[:, 1:2], zBh[:, 1:2],
                                     zBsl[:, 1:2], zBsh[:, 1:2], sc)
-            tlo = jnp.concatenate([b0l, b1l, b2l, b3l], axis=1).reshape(_C, W)
-            thi = jnp.concatenate([b0h, b1h, b2h, b3h], axis=1).reshape(_C, W)
-            i += 2
-        elif fuse:
-            ln = lens[i]                     # distance ln, then 2*ln (GS)
-            g = _C // (4 * ln)
-            xl = tlo.reshape(g, 4, ln, W)
-            xh = thi.reshape(g, 4, ln, W)
-            zAl, zAh = zplane(offs[i], 2 * g, 2, zt)
-            zAsl, zAsh = zplane(offs[i], 2 * g, 2, zts)
-            zBl, zBh = zplane(offs[i + 1], g, 1, zt)
-            zBsl, zBsh = zplane(offs[i + 1], g, 1, zts)
-            a0l, a0h, a1l, a1h = bf(xl[:, 0], xh[:, 0], xl[:, 1], xh[:, 1],
-                                    zAl[:, 0:1], zAh[:, 0:1],
-                                    zAsl[:, 0:1], zAsh[:, 0:1], sc)
-            a2l, a2h, a3l, a3h = bf(xl[:, 2], xh[:, 2], xl[:, 3], xh[:, 3],
-                                    zAl[:, 1:2], zAh[:, 1:2],
-                                    zAsl[:, 1:2], zAsh[:, 1:2], sc)
-            b0l, b0h, b2l, b2h = bf(a0l, a0h, a2l, a2h,
-                                    zBl, zBh, zBsl, zBsh, sc)
-            b1l, b1h, b3l, b3h = bf(a1l, a1h, a3l, a3h,
-                                    zBl, zBh, zBsl, zBsh, sc)
             tlo = jnp.concatenate([b0l, b1l, b2l, b3l], axis=1).reshape(_C, W)
             thi = jnp.concatenate([b0h, b1h, b2h, b3h], axis=1).reshape(_C, W)
             i += 2

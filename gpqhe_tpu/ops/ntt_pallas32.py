@@ -91,8 +91,9 @@ def _inv_bf32(x0, x1, z, zs, sc):
 
 
 def _big_stages32(a, zb, zbs, sc, R, inverse):
-    """Stages with len >= 128 on one poly slab M[R, C]; stage pairs fused
-    (see ops/ntt_pallas.py _big_stages for the routing derivation)."""
+    """Stages with len >= 128 on one poly slab M[R, C]; FORWARD stage pairs
+    fused (see ops/ntt_pallas.py _big_stages for the routing derivation and
+    why inverse stages stay unfused — Mosaic compile pathology)."""
     Ls = []
     L = R // 2
     while L >= 1:
@@ -108,8 +109,8 @@ def _big_stages32(a, zb, zbs, sc, R, inverse):
 
     i = 0
     while i < len(Ls):
-        fuse = i + 1 < len(Ls)
-        if fuse and not inverse:
+        fuse = i + 1 < len(Ls) and not inverse
+        if fuse:
             L = Ls[i]
             h = L // 2
             nb = R // (2 * L)
@@ -120,18 +121,6 @@ def _big_stages32(a, zb, zbs, sc, R, inverse):
             a1, a3 = bf(x[:, 1], x[:, 3], zA, zAs, sc)
             b0, b1 = bf(a0, a1, zB[:, 0:1], zBs[:, 0:1], sc)
             b2, b3 = bf(a2, a3, zB[:, 1:2], zBs[:, 1:2], sc)
-            a = jnp.concatenate([b0, b1, b2, b3], axis=1).reshape(R, _C)
-            i += 2
-        elif fuse:
-            L = Ls[i]
-            nb2 = R // (4 * L)
-            x = a.reshape(nb2, 4, L, _C)
-            zA, zAs = zsl(2 * nb2, 2 * nb2, 2)
-            zB, zBs = zsl(nb2, nb2, 1)
-            a0, a1 = bf(x[:, 0], x[:, 1], zA[:, 0:1], zAs[:, 0:1], sc)
-            a2, a3 = bf(x[:, 2], x[:, 3], zA[:, 1:2], zAs[:, 1:2], sc)
-            b0, b2 = bf(a0, a2, zB, zBs, sc)
-            b1, b3 = bf(a1, a3, zB, zBs, sc)
             a = jnp.concatenate([b0, b1, b2, b3], axis=1).reshape(R, _C)
             i += 2
         else:
@@ -165,8 +154,8 @@ def _tail_stages32(t, zt, zts, sc, W, inverse):
 
     i = 0
     while i < len(lens):
-        fuse = i + 1 < len(lens)
-        if fuse and not inverse:
+        fuse = i + 1 < len(lens) and not inverse
+        if fuse:
             ln = lens[i]
             h = ln // 2
             g = _C // (2 * ln)
@@ -177,18 +166,6 @@ def _tail_stages32(t, zt, zts, sc, W, inverse):
             a1, a3 = bf(x[:, 1], x[:, 3], zA, zAs, sc)
             b0, b1 = bf(a0, a1, zB[:, 0:1], zBs[:, 0:1], sc)
             b2, b3 = bf(a2, a3, zB[:, 1:2], zBs[:, 1:2], sc)
-            t = jnp.concatenate([b0, b1, b2, b3], axis=1).reshape(_C, W)
-            i += 2
-        elif fuse:
-            ln = lens[i]
-            g = _C // (4 * ln)
-            x = t.reshape(g, 4, ln, W)
-            zA, zAs = zpl(offs[i], 2 * g, 2)
-            zB, zBs = zpl(offs[i + 1], g, 1)
-            a0, a1 = bf(x[:, 0], x[:, 1], zA[:, 0:1], zAs[:, 0:1], sc)
-            a2, a3 = bf(x[:, 2], x[:, 3], zA[:, 1:2], zAs[:, 1:2], sc)
-            b0, b2 = bf(a0, a2, zB, zBs, sc)
-            b1, b3 = bf(a1, a3, zB, zBs, sc)
             t = jnp.concatenate([b0, b1, b2, b3], axis=1).reshape(_C, W)
             i += 2
         else:

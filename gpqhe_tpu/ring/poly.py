@@ -17,6 +17,8 @@ magnitudes — see dim_* in context.py.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -91,13 +93,30 @@ class RingEngine:
                     self.pctx, dim, P, F)
         return self._pallas[(dim, P, F)]
 
+    # Poly-fold cap per kernel call.  The VMEM budget alone admits P=32 at
+    # logn=14, but giant folds inside LARGE fused programs put Mosaic under
+    # compile-memory pressure (observed: the remote compile helper OOM-
+    # SIGKILLed on a P=24 fused-stage kernel that compiles fine standalone)
+    # and r4 measured the batched mul_rs running 3.4x SLOWER per ct at
+    # fold 32.  Larger stacks loop over fold<=CAP kernel calls via lax.map —
+    # the same cached kernels the latency path uses.
+    FOLD_CAP = int(os.environ.get("GPQHE_PALLAS_FOLD_CAP", 8))
+
     def pallas_fold(self, P: int) -> int:
         """Largest usable poly fold for a P-poly stack (divisor of P within
-        the VMEM budget)."""
-        pmax = max(1, self._pallas_fold_budget // self.pctx.n)
+        the VMEM budget and the fold cap)."""
+        pmax = max(1, min(self._pallas_fold_budget // self.pctx.n,
+                          self.FOLD_CAP))
         while P % pmax or pmax > P:
             pmax -= 1
         return pmax
+
+    # Total (poly x prime) pipelines unrolled in one kernel body.  The
+    # radix-4 stage fusion roughly doubled the Mosaic compile footprint per
+    # pipeline: 32-pipeline UNFUSED kernels compiled fine (r3/r4), but fused
+    # (P=8, F=4) and (P=24, F=1) kernels thrash or OOM-SIGKILL the remote
+    # compile helper.  16 fused pipelines ~= the proven 32-unfused footprint.
+    PIPE_CAP = int(os.environ.get("GPQHE_PALLAS_PIPE_CAP", 16))
 
     def pallas_prime_fold(self, dim: int, Pf: int) -> int:
         """Prime fold F (cuts lax.map launches to ceil(dim/F)).  Real-TPU
@@ -106,7 +125,8 @@ class RingEngine:
         fills VMEM the poly axis left unused — i.e. F > 1 only for small
         poly stacks.  Tie-break: least prime padding."""
         n = self.pctx.n
-        fmax = self._pallas_fold_budget // (n * Pf)
+        fmax = min(self._pallas_fold_budget // (n * Pf),
+                   max(1, self.PIPE_CAP // Pf))
         feasible = [f for f in range(1, min(8, fmax) + 1)]
         if not feasible:
             return 1
@@ -136,6 +156,10 @@ class RingEngine:
             return ntt_pallas(res, self.pallas_plan(dim, 1, F), inverse,
                               scaled=scaled)
         P = res.shape[0]
+        if P == 1:
+            # a leading length-1 stack (e.g. mul_rs_batch at B=1) must not
+            # reach the plan.P == 1 kernel path with a 3-D array
+            return self._pallas_ntt(res[0], dim, inverse, scaled)[None]
         fold = self.pallas_fold(P)
         F = self.pallas_prime_fold(dim, fold)
         if fold == P:

@@ -397,3 +397,40 @@ def test_mesh_engine_full_bootstrap_matches_single():
     assert np.array_equal(np.asarray(out_s.c1), np.asarray(out_m.c1))
     got = eng_s.dcd(eng_s.dec(out_m, sk))
     assert np.max(np.abs(got - m0)) < 1e-2
+
+
+@pytest.mark.slow   # ~5 min: two coeff2slot compositions at logn=12
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_engine_coeff2slot_security_ring():
+    """Mesh composition witnessed at a SECURITY-TABLE ring (VERDICT r4 #6):
+    coeff2slot through MeshCKKS at logn=12/logq=109 over the (2,2,2) mesh,
+    bit-exact vs the single-device engine (the default-suite variant of this
+    test runs at logn=6; __graft_entry__.dryrun_multichip runs the same
+    composition for the driver artifact)."""
+    from gpqhe_tpu import bootstrap as bs
+    from gpqhe_tpu.context import HeContext
+    from gpqhe_tpu.parallel.engine import MeshCKKS
+    from gpqhe_tpu.parallel.mesh import make_he_mesh3
+    from gpqhe_tpu.ring import sample as smp
+    from gpqhe_tpu.scheme.engine import CKKS
+    from gpqhe_tpu.substrate import surf as surf_mod
+    from gpqhe_tpu.substrate.surf import Surf
+
+    ctx = HeContext(logn=12, q=1 << 109, slots=4, Delta=1 << 30)
+
+    def run(eng):
+        surf_mod.reset_default_rng()
+        pk, sk = eng.keypair()
+        ck = eng.genck(sk)
+        rk = eng.genrk(sk, bs.bootstrap_rotations(ctx))
+        m0 = smp.sample_z01vec(eng.rng, ctx.slots) / (1 << 10)
+        ct = eng.enc_pk(eng.ecd(m0), pk)
+        bctx = bs.BootstrapContext(eng)
+        return bs.coeff2slot(eng, bctx, ct, ck, rk)
+
+    s0, s1 = run(CKKS(ctx, rng=Surf(), hoist_bits=80))
+    mesh = make_he_mesh3(8, limb=2, coeff=2)
+    m0c, m1c = run(MeshCKKS(ctx, mesh, rng=Surf(), hoist_bits=80))
+    for nm, a, b in [("ct0.c0", s0.c0, m0c.c0), ("ct0.c1", s0.c1, m0c.c1),
+                     ("ct1.c0", s1.c0, m1c.c0), ("ct1.c1", s1.c1, m1c.c1)]:
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f"{nm} differs"
