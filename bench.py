@@ -308,14 +308,16 @@ def stage_ntt():
     log("correctness check passed")
 
     iters = 20
-    t1 = time.time()
-    for _ in range(iters):
-        out = comp(out)
-    out.block_until_ready()
-    dt = time.time() - t1
-    ops_per_sec = BATCH * DIM * iters / dt
-    log(f"device: {iters} iters of [{BATCH},{DIM},{n}] in {dt:.3f}s -> "
-        f"{ops_per_sec:.1f} ntt/s")
+    best = float("inf")
+    for _ in range(3):   # min-of-rounds: tunnel RPC latency is bursty
+        t1 = time.time()
+        for _ in range(iters):
+            out = comp(out)
+        out.block_until_ready()
+        best = min(best, time.time() - t1)
+    ops_per_sec = BATCH * DIM * iters / best
+    log(f"device: {iters} iters of [{BATCH},{DIM},{n}] in {best:.3f}s -> "
+        f"{ops_per_sec:.1f} ntt/s (min of 3 rounds)")
 
     # CPU baseline: one prime's stack, normalized to ops/s
     b_np = a_np[0, :4].copy()

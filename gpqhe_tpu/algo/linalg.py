@@ -86,9 +86,56 @@ class HoistedGemvPlan(GemvPlan):
 
     def __init__(self, eng: CKKS, A: np.ndarray):
         super().__init__(eng, A)
+        self._A = np.asarray(A, dtype=np.complex128).reshape(-1)
         self._packs: dict[int, tuple] = {}
         self._rk_stacks: dict[int, tuple] = {}
+        self._pts_full: dict[int, Plaintext] | None = None
         self.fallbacks = 0   # times gemv_hoisted dropped to the classic path
+
+    # -- FULL hoisting: all `slots` rotations from the one decomposition ----
+
+    def pts_full(self, eng: CKKS) -> dict[int, Plaintext]:
+        """Unrotated diagonals diag_r = zrotdiag(A, r, 0): the plaintext of
+        rotation r in the fully-hoisted sum out = sum_r diag_r * rot_r(ct)
+        (identical math to the BSGS split with the outer rotation pulled
+        inside the plaintext encoding)."""
+        if self._pts_full is None:
+            slots = eng.ctx.slots
+            self._pts_full = {
+                r: eng.ecd(zrotdiag(self._A, r, 0, slots))
+                for r in range(slots)}
+        return self._pts_full
+
+    def bound_max_full(self, eng: CKKS) -> float:
+        return max(pt.size_bound for pt in self.pts_full(eng).values())
+
+    def pack_full(self, eng: CKKS, l: int, dims: tuple[int, int]):
+        """(ptx [slots, dims_h, n], ptb [slots, dimc, n]) pre-NTT'd full-
+        hoist diagonal tables, cached per (level, dims)."""
+        import jax.numpy as jnp
+        key = ("full", l, dims)
+        if key not in self._packs:
+            pts = self.pts_full(eng)
+            dims_h, dimc = dims
+
+            def tab(dim):
+                return jnp.stack([
+                    eng.ring.fwd_ntt(pts[r].m, dim,
+                                     signed_bits=pts[r].mod_bits)
+                    for r in range(eng.ctx.slots)])
+            self._packs[key] = (tab(dims_h), tab(dimc))
+        return self._packs[key]
+
+    def rk_stack_full(self, eng: CKKS, rk: dict[int, SwitchKey]):
+        import jax.numpy as jnp
+        keys = tuple(rk[r] for r in range(eng.ctx.slots))
+        key = ("full",) + tuple(id(k) for k in keys)
+        if key not in self._rk_stacks:
+            self._rk_stacks[key] = (
+                keys,
+                jnp.stack([k.p0hat for k in keys]),
+                jnp.stack([k.p1hat for k in keys]))
+        return self._rk_stacks[key][1:]
 
     def bound_max(self) -> float:
         """Basis-sizing coefficient bound over all diagonals (size_bound, not
@@ -141,13 +188,62 @@ class HoistedGemvPlan(GemvPlan):
         return self._rk_stacks[key][1:]
 
 
+def gemv_hoisted_full(eng: CKKS, plan: HoistedGemvPlan, ct: Ciphertext,
+                      rk: dict[int, SwitchKey]) -> Ciphertext | None:
+    """FULLY-hoisted gemv: ALL `slots` rotations ride the single
+    decomposition+NTT of ct (one lax.scan over slots baby steps, ONE
+    divide-round total, no outer rotations, no adds) — out =
+    sum_r diag_r * rot_r(ct), then rescale.
+
+    Profiling the double-hoisted BSGS path (tools/profile_gemv.py, v5e,
+    slots=16) attributes its 33 ms to 4 giant steps + 3 OUTER ROTATIONS —
+    each outer rot a full key switch.  When the rotation-key bank covers
+    range(slots) (the reference generates exactly that bank,
+    ref: src/he-kem.c:154-169) the BSGS split only saves key MEMORY, which
+    hoisting already made moot; collapsing to the plain diagonal method
+    removes the n2-1 outer key switches entirely.  The accumulation bound
+    grows from n1 to slots products (bits_hoist absorbs it; margin checked
+    below).  Returns None when the bank or the hoisting margin does not
+    cover (caller falls back to the BSGS path).  Device memory: the rk
+    stack and diagonal pack are [slots, dim, n] — fine for the reference's
+    slot counts; at slots >> 2^10 prefer the BSGS path."""
+    ctx = eng.ctx
+    l = ct.l
+    slots = ctx.slots
+    if any(r not in rk for r in range(slots)):
+        return None
+    bnd_sum = plan.bound_max_full(eng) * slots
+    dims_h, dimc = eng.gemv_dims(l, bnd_sum)
+    if dims_h > eng.dimswk_h or eng.ring.ntt_impl == "matmul":
+        return None
+    pts = plan.pts_full(eng)
+    nu_max = max(pt.nu for pt in pts.values())
+    prep = eng.hoisted_gemv_prep_fn(l, slots, dims_h, dimc)
+    step = eng.hoisted_gemv_step_fn(
+        l, dims_h, dimc,
+        bits_h=eng.bits_hoist(l, bnd_sum),
+        bits_c=ctx.bits_mulpt(l, bnd_sum))
+    c1p, c0p = prep(ct.c0, ct.c1)
+    rk0, rk1 = plan.rk_stack_full(eng, rk)
+    ptx, ptb = plan.pack_full(eng, l, (dims_h, dimc))
+    out0, out1 = step(c1p, c0p, ptx, ptb, rk0, rk1)
+    out = Ciphertext(l=l, nu=ct.nu * nu_max, B=slots * ct.B * nu_max,
+                     c0=out0, c1=out1)
+    return eng.rs(out)
+
+
 def gemv_hoisted(eng: CKKS, plan: HoistedGemvPlan, ct: Ciphertext,
                  rk: dict[int, SwitchKey]) -> Ciphertext:
-    """Double-hoisted BSGS gemv: one key switch per giant step.
+    """Hoisted gemv: fully-hoisted when the key bank and margin allow
+    (gemv_hoisted_full), else double-hoisted BSGS (one key switch per
+    giant step).
 
     Streams one plaintext slab per giant step through ONE jitted step
     program (lax.scan over baby steps inside), so compile time and device
     memory stay flat as slots grow."""
+    full = gemv_hoisted_full(eng, plan, ct, rk)
+    if full is not None:
+        return full
     l = ct.l
     if (eng.gemv_dims(l, plan.bound_max() * plan.n1)[0] > eng.dimswk_h
             or eng.ring.ntt_impl == "matmul"):
